@@ -1,0 +1,381 @@
+"""PPO learner, co-located with the simulation on the same devices.
+
+Replaces the external rl_games `a2c_continuous` trainer (SURVEY.md §2.5)
+with a fully jitted JAX implementation: the rollout is a lax.scan over the
+vmapped env step, GAE a reverse scan, and the minibatch SGD a scan over
+shuffled slices — one XLA program per epoch, no host round-trips.
+
+Feature parity targets (cfg/train/*PPO.yaml): GAE (gamma/tau), adaptive-KL
+'legacy' LR schedule (kl_threshold), e_clip surrogate + clipped value loss,
+grad-norm truncation, entropy/bounds/critic coefficients, obs & value
+RunningMeanStd, advantage normalization, reward shaper scale,
+value_bootstrap on timeouts, horizon_length x num_envs rollouts with
+mini_epochs x minibatch SGD.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from omniisaacgymenvs_tpu.envs.vec_env import VecEnv
+from omniisaacgymenvs_tpu.learn.networks import (
+    ActorCritic,
+    gaussian_entropy,
+    gaussian_kl,
+    gaussian_logprob,
+)
+from omniisaacgymenvs_tpu.learn.running_norm import RunningNorm
+
+
+@dataclasses.dataclass
+class PPOConfig:
+    """Mirrors the rl_games config block of cfg/train/*PPO.yaml."""
+
+    horizon_length: int = 16
+    minibatch_size: int = 8192
+    mini_epochs: int = 8
+    gamma: float = 0.99
+    tau: float = 0.95
+    learning_rate: float = 3e-4
+    lr_schedule: str = "adaptive"
+    kl_threshold: float = 0.008
+    e_clip: float = 0.2
+    clip_value: bool = True
+    critic_coef: float = 4.0
+    entropy_coef: float = 0.0
+    bounds_loss_coef: float = 1e-4
+    grad_norm: float = 1.0
+    normalize_input: bool = True
+    normalize_value: bool = True
+    normalize_advantage: bool = True
+    reward_shaper_scale: float = 1.0
+    value_bootstrap: bool = False
+    max_epochs: int = 100
+    units: Sequence[int] = (32, 32)
+    activation: str = "elu"
+    lr_min: float = 1e-6
+    lr_max: float = 1e-2
+
+
+@flax.struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    lr: jax.Array
+    obs_norm: RunningNorm
+    value_norm: RunningNorm
+    es: Any                  # batched EnvState
+    rng: jax.Array
+    ep_ret: jax.Array        # (N,) running episode reward (raw)
+    ep_len: jax.Array        # (N,)
+    epoch: jax.Array
+
+
+class PPOTrainer:
+    def __init__(self, env: VecEnv, cfg: PPOConfig, seed: int = 42):
+        self.env = env
+        self.cfg = cfg
+        self.net = ActorCritic(
+            num_actions=env.num_actions,
+            units=tuple(cfg.units),
+            activation=cfg.activation,
+        )
+        self.opt = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_norm),
+            optax.scale_by_adam(eps=1e-8),
+        )
+        rng = jax.random.PRNGKey(seed)
+        rng, k_init = jax.random.split(rng)
+        params = self.net.init(k_init, jnp.zeros((1, env.num_obs)))
+        es = env.reset(seed=seed)
+        n = env.num_envs
+        self.state = TrainState(
+            params=params,
+            opt_state=self.opt.init(params),
+            lr=jnp.asarray(cfg.learning_rate),
+            obs_norm=RunningNorm.create((env.num_obs,)),
+            value_norm=RunningNorm.create(()),
+            es=es,
+            rng=rng,
+            ep_ret=jnp.zeros(n),
+            ep_len=jnp.zeros(n),
+            epoch=jnp.zeros((), jnp.int32),
+        )
+        batch = cfg.horizon_length * n
+        assert batch % cfg.minibatch_size == 0, (
+            f"horizon*num_envs={batch} not divisible by "
+            f"minibatch_size={cfg.minibatch_size}"
+        )
+        self.num_minibatches = batch // cfg.minibatch_size
+        self._epoch_jit = jax.jit(self._epoch)
+
+    # ------------------------------------------------------------------
+    def _policy(self, params, obs_norm, value_norm, obs):
+        x = obs_norm.normalize(obs) if self.cfg.normalize_input else obs
+        mu, log_std, v = self.net.apply(params, x)
+        if self.cfg.normalize_value:
+            v = value_norm.denormalize(v)
+        return mu, log_std, v
+
+    def _rollout(self, ts: TrainState):
+        cfg = self.cfg
+        step_env = jax.vmap(self.env.task.step)
+
+        def body(carry, _):
+            es, rng, ep_ret, ep_len, fin_ret, fin_len, fin_cnt = carry
+            mu, log_std, value = self._policy(
+                ts.params, ts.obs_norm, ts.value_norm, es.obs
+            )
+            rng, k = jax.random.split(rng)
+            action = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
+            logp = gaussian_logprob(mu, log_std, action)
+            es2 = step_env(es, action)
+            raw_rew = es2.reward
+            shaped = cfg.reward_shaper_scale * raw_rew
+            if cfg.value_bootstrap:
+                # rl_games: rewards += gamma * values * time_outs
+                shaped = shaped + cfg.gamma * value * es2.timeout
+            # episode stats
+            ep_ret = ep_ret + raw_rew
+            ep_len = ep_len + 1.0
+            d = es2.done
+            fin_ret = fin_ret + jnp.sum(jnp.where(d, ep_ret, 0.0))
+            fin_len = fin_len + jnp.sum(jnp.where(d, ep_len, 0.0))
+            fin_cnt = fin_cnt + jnp.sum(d)
+            ep_ret = jnp.where(d, 0.0, ep_ret)
+            ep_len = jnp.where(d, 0.0, ep_len)
+            out = dict(
+                obs=es.obs,
+                action=action,
+                logp=logp,
+                value=value,
+                mu=mu,
+                log_std=jnp.broadcast_to(log_std, mu.shape),
+                reward=shaped,
+                done=es2.done,
+            )
+            return (es2, rng, ep_ret, ep_len, fin_ret, fin_len, fin_cnt), out
+
+        rng, k = jax.random.split(ts.rng)
+        init = (ts.es, k, ts.ep_ret, ts.ep_len, 0.0, 0.0, 0.0)
+        (es, _, ep_ret, ep_len, fin_ret, fin_len, fin_cnt), traj = jax.lax.scan(
+            body, init, None, length=cfg.horizon_length
+        )
+        # bootstrap value of the final state
+        _, _, last_value = self._policy(
+            ts.params, ts.obs_norm, ts.value_norm, es.obs
+        )
+        ts = ts.replace(es=es, rng=rng, ep_ret=ep_ret, ep_len=ep_len)
+        stats = dict(fin_ret=fin_ret, fin_len=fin_len, fin_cnt=fin_cnt)
+        return ts, traj, last_value, stats
+
+    def _gae(self, traj, last_value):
+        cfg = self.cfg
+
+        def body(carry, xs):
+            adv_next, v_next = carry
+            reward, value, done = xs
+            not_done = 1.0 - done.astype(jnp.float32)
+            delta = reward + cfg.gamma * v_next * not_done - value
+            adv = delta + cfg.gamma * cfg.tau * not_done * adv_next
+            return (adv, value), adv
+
+        _, advs = jax.lax.scan(
+            body,
+            (jnp.zeros_like(last_value), last_value),
+            (traj["reward"], traj["value"], traj["done"]),
+            reverse=True,
+        )
+        returns = advs + traj["value"]
+        return advs, returns
+
+    def _update(self, ts: TrainState, dataset, advs_mean, advs_std):
+        """mini_epochs x minibatch SGD with adaptive-KL LR ('legacy'
+        schedule: check per update, x/÷1.5 on 2x threshold)."""
+        cfg = self.cfg
+
+        def loss_fn(params, mb, obs_norm, value_norm):
+            x = (
+                obs_norm.normalize(mb["obs"])
+                if cfg.normalize_input
+                else mb["obs"]
+            )
+            mu, log_std, v_pred_n = self.net.apply(params, x)
+            logp = gaussian_logprob(mu, log_std, mb["action"])
+            ratio = jnp.exp(logp - mb["logp"])
+            adv = mb["adv"]
+            if cfg.normalize_advantage:
+                adv = (adv - advs_mean) / (advs_std + 1e-8)
+            surr1 = adv * ratio
+            surr2 = adv * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
+            actor_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+
+            if cfg.normalize_value:
+                target_n = value_norm.normalize(mb["ret"], clip=jnp.inf)
+                v_old_n = value_norm.normalize(mb["value"], clip=jnp.inf)
+            else:
+                target_n = mb["ret"]
+                v_old_n = mb["value"]
+            if cfg.clip_value:
+                v_clipped = v_old_n + jnp.clip(
+                    v_pred_n - v_old_n, -cfg.e_clip, cfg.e_clip
+                )
+                v_loss = jnp.maximum(
+                    (v_pred_n - target_n) ** 2, (v_clipped - target_n) ** 2
+                )
+            else:
+                v_loss = (v_pred_n - target_n) ** 2
+            critic_loss = 0.5 * jnp.mean(v_loss)
+
+            entropy = jnp.mean(gaussian_entropy(log_std))
+            b_high = jnp.clip(mu - 1.1, 0.0, None) ** 2
+            b_low = jnp.clip(mu + 1.1, None, 0.0) ** 2
+            bounds_loss = jnp.mean(jnp.sum(b_high + b_low, axis=-1))
+
+            total = (
+                actor_loss
+                + cfg.critic_coef * critic_loss
+                - cfg.entropy_coef * entropy
+                + cfg.bounds_loss_coef * bounds_loss
+            )
+            kl = jnp.mean(
+                gaussian_kl(mb["mu"], mb["log_std"], mu, log_std)
+            )
+            aux = dict(
+                actor_loss=actor_loss,
+                critic_loss=critic_loss,
+                entropy=entropy,
+                bounds_loss=bounds_loss,
+                kl=kl,
+            )
+            return total, aux
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def mb_update(carry, mb):
+            params, opt_state, lr = carry
+            (loss, aux), grads = grad_fn(
+                params, mb, ts.obs_norm, ts.value_norm
+            )
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
+            if cfg.lr_schedule == "adaptive":
+                kl = aux["kl"]
+                lr = jnp.where(
+                    kl > 2.0 * cfg.kl_threshold,
+                    jnp.maximum(lr / 1.5, cfg.lr_min),
+                    jnp.where(
+                        kl < 0.5 * cfg.kl_threshold,
+                        jnp.minimum(lr * 1.5, cfg.lr_max),
+                        lr,
+                    ),
+                )
+            aux["loss"] = loss
+            return (params, opt_state, lr), aux
+
+        def epoch_body(carry, key):
+            params, opt_state, lr = carry
+            perm = jax.random.permutation(key, dataset["obs"].shape[0])
+            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+            mbs = jax.tree.map(
+                lambda x: x.reshape(
+                    (self.num_minibatches, cfg.minibatch_size)
+                    + x.shape[1:]
+                ),
+                shuffled,
+            )
+            (params, opt_state, lr), aux = jax.lax.scan(
+                mb_update, (params, opt_state, lr), mbs
+            )
+            return (params, opt_state, lr), aux
+
+        rng, *keys = jax.random.split(ts.rng, cfg.mini_epochs + 1)
+        (params, opt_state, lr), aux = jax.lax.scan(
+            epoch_body,
+            (ts.params, ts.opt_state, ts.lr),
+            jnp.stack(keys),
+        )
+        ts = ts.replace(
+            params=params, opt_state=opt_state, lr=lr, rng=rng
+        )
+        aux = jax.tree.map(jnp.mean, aux)
+        return ts, aux
+
+    # ------------------------------------------------------------------
+    def _epoch(self, ts: TrainState):
+        cfg = self.cfg
+        ts, traj, last_value, stats = self._rollout(ts)
+        advs, returns = self._gae(traj, last_value)
+
+        # update running norms on this epoch's data
+        if cfg.normalize_input:
+            ts = ts.replace(obs_norm=ts.obs_norm.update(traj["obs"]))
+        if cfg.normalize_value:
+            ts = ts.replace(value_norm=ts.value_norm.update(returns))
+
+        flat = lambda x: x.reshape((-1,) + x.shape[2:])
+        dataset = dict(
+            obs=flat(traj["obs"]),
+            action=flat(traj["action"]),
+            logp=flat(traj["logp"]),
+            value=flat(traj["value"]),
+            mu=flat(traj["mu"]),
+            log_std=flat(traj["log_std"]),
+            adv=flat(advs),
+            ret=flat(returns),
+        )
+        advs_mean = jnp.mean(dataset["adv"])
+        advs_std = jnp.std(dataset["adv"])
+        ts, aux = self._update(ts, dataset, advs_mean, advs_std)
+        ts = ts.replace(epoch=ts.epoch + 1)
+        metrics = dict(
+            mean_ep_reward=stats["fin_ret"] / jnp.maximum(stats["fin_cnt"], 1),
+            mean_ep_length=stats["fin_len"] / jnp.maximum(stats["fin_cnt"], 1),
+            episodes=stats["fin_cnt"],
+            mean_step_reward=jnp.mean(traj["reward"]),
+            lr=ts.lr,
+            **aux,
+        )
+        return ts, metrics
+
+    # ------------------------------------------------------------------
+    def train(
+        self,
+        max_epochs: Optional[int] = None,
+        log_every: int = 10,
+        log_fn=print,
+        score_target: Optional[float] = None,
+    ):
+        """Python driver loop; each epoch is one jitted XLA program."""
+        max_epochs = max_epochs or self.cfg.max_epochs
+        history = []
+        steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
+        t0 = time.time()
+        for epoch in range(max_epochs):
+            self.state, metrics = self._epoch_jit(self.state)
+            if epoch % log_every == 0 or epoch == max_epochs - 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["epoch"] = epoch
+                m["env_steps"] = (epoch + 1) * steps_per_epoch
+                m["steps_per_sec"] = m["env_steps"] / (time.time() - t0)
+                history.append(m)
+                if log_fn:
+                    log_fn(
+                        f"epoch {epoch:5d} | ep_rew {m['mean_ep_reward']:9.2f} "
+                        f"| ep_len {m['mean_ep_length']:6.1f} "
+                        f"| kl {m['kl']:.4f} | lr {m['lr']:.2e} "
+                        f"| {m['steps_per_sec']:,.0f} steps/s"
+                    )
+                if (
+                    score_target is not None
+                    and m["mean_ep_reward"] >= score_target
+                ):
+                    break
+        return history

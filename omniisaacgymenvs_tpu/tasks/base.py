@@ -1,0 +1,160 @@
+"""Task base: pure-function equivalent of the reference RLTask contract.
+
+The reference RLTask (tasks/base/rl_task.py:49-251) allocates torch buffers
+(obs/states/rew/reset/progress), orchestrates per-step hooks
+(pre_physics_step -> N x world.step -> post_physics_step with progress+=1,
+get_observations, get_states, calculate_metrics, is_done, get_extras) and
+performs env-indexed resets via .nonzero() host syncs.
+
+Here the same contract is a pure per-env step function over an EnvState
+pytree; resets are full-batch `where` merges fused into the step (SURVEY.md
+§7.3 item 3 — no host syncs), and the whole thing is vmapped/jitted/sharded
+by the VecEnv layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.state import Control, State
+
+
+@flax.struct.dataclass
+class EnvState:
+    """Single-env task state (batched by leading axis at the VecEnv layer).
+
+    Mirrors the reference per-env buffers: obs_buf/states_buf/rew_buf/
+    reset_buf/progress_buf (reference tasks/base/rl_task.py:98-107) plus the
+    physics state, task-specific carry, and a per-env RNG key.
+    """
+
+    phys: State
+    carry: Any
+    obs: jax.Array
+    states: jax.Array
+    reward: jax.Array          # scalar f32
+    done: jax.Array            # scalar bool — reference reset_buf
+    timeout: jax.Array         # scalar bool — rl_games time_outs (for
+                               # value_bootstrap, cfg/train/AntPPO.yaml)
+    progress: jax.Array        # scalar i32 — reference progress_buf
+    rng: jax.Array
+    metrics: Dict[str, jax.Array]  # reference extras (episode sums, etc.)
+
+
+class RLTask:
+    """Base class for all tasks. Subclasses define the model/engine and the
+    pure hooks; this class provides the step pipeline.
+
+    Contract hooks (single env, pure):
+      initial_carry() -> carry
+      sample_reset(rng) -> (q, qd, carry)    # reference reset_idx
+      control(action, es) -> Control          # reference pre_physics_step
+      observe(phys, carry, action) -> (obs, states, carry)
+      reward_done(obs, action, phys, carry, progress)
+          -> (reward, done, carry, metrics)
+    """
+
+    name: str = "RLTask"
+    num_obs: int = 0
+    num_states: int = 0
+    num_actions: int = 0
+    max_episode_length: int = 500
+    clip_obs: float = jnp.inf
+    clip_actions: float = jnp.inf
+    decimation: int = 1  # reference controlFrequencyInv
+
+    engine: PhysicsEngine
+
+    # ------------------------------------------------------------------
+    def initial_carry(self) -> Any:
+        return ()
+
+    def initial_metrics(self) -> Dict[str, jax.Array]:
+        return {}
+
+    def sample_reset(self, rng: jax.Array):
+        raise NotImplementedError
+
+    def control(self, action: jax.Array, es: EnvState) -> Control:
+        raise NotImplementedError
+
+    def observe(self, phys: State, carry, action: jax.Array):
+        raise NotImplementedError
+
+    def reward_done(self, obs, action, phys, carry, progress):
+        raise NotImplementedError
+
+    # ------------------------------------------------------------------
+    def reset(self, rng: jax.Array) -> EnvState:
+        """Fresh env state (reference post_reset + reset_idx)."""
+        rng, key = jax.random.split(rng)
+        q, qd, carry = self.sample_reset(key)
+        phys = self.engine.init_state(q, qd)
+        zero_action = jnp.zeros(self.num_actions)
+        obs, states, carry = self.observe(phys, carry, zero_action)
+        return EnvState(
+            phys=phys,
+            carry=carry,
+            obs=obs,
+            states=states,
+            reward=jnp.zeros(()),
+            done=jnp.zeros((), bool),
+            timeout=jnp.zeros((), bool),
+            progress=jnp.zeros((), jnp.int32),
+            rng=rng,
+            metrics=self.initial_metrics(),
+        )
+
+    def physics_steps(self, phys: State, ctrl: Control) -> State:
+        """decimation x engine.step (reference envs/vec_env_rlgames.py:64-66,
+        `for _ in range(control_frequency_inv): world.step`). Tasks with
+        per-substep control (AnymalTerrain) override."""
+        for _ in range(self.decimation):
+            phys = self.engine.step(phys, ctrl)
+        return phys
+
+    def step(self, es: EnvState, action: jax.Array) -> EnvState:
+        """One control step. Auto-reset-on-entry: envs flagged done on the
+        previous step are re-sampled before actions apply, matching the
+        reference ordering (reset_idx inside pre_physics_step,
+        tasks/cartpole.py:102-104) without host syncs: both branches are
+        computed and merged with `where` on the done flag."""
+        rng, key_reset = jax.random.split(es.rng)
+        es = es.replace(rng=rng)
+        fresh = self.reset(key_reset)
+        es = jax.tree.map(
+            lambda new, old: jnp.where(
+                jnp.reshape(es.done, (1,) * new.ndim), new, old
+            )
+            if new.ndim > 0
+            else jnp.where(es.done, new, old),
+            fresh,
+            es,
+        )
+
+        action = jnp.clip(action, -self.clip_actions, self.clip_actions)
+        ctrl = self.control(action, es)
+        phys = self.physics_steps(es.phys, ctrl)
+        progress = es.progress + 1
+        obs, states, carry = self.observe(phys, es.carry, action)
+        reward, done, carry, metrics = self.reward_done(
+            obs, action, phys, carry, progress
+        )
+        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
+        states = jnp.clip(states, -self.clip_obs, self.clip_obs)
+        return es.replace(
+            phys=phys,
+            carry=carry,
+            obs=obs,
+            states=states,
+            reward=reward,
+            done=done,
+            timeout=jnp.asarray(progress >= self.max_episode_length),
+            progress=progress,
+            metrics=metrics,
+        )

@@ -1,0 +1,41 @@
+"""PPO learning-curve regression (BASELINE.md: Cartpole reward > 400 with
+32 envs, CPU-runnable — the PR1 convergence sentinel)."""
+
+import numpy as np
+
+from omniisaacgymenvs_tpu.envs import VecEnv
+from omniisaacgymenvs_tpu.learn import PPOConfig, PPOTrainer
+from omniisaacgymenvs_tpu.tasks import get_task
+
+
+def test_cartpole_learns():
+    env = VecEnv(get_task("Cartpole"), 32)
+    cfg = PPOConfig(
+        horizon_length=32,
+        minibatch_size=1024,
+        mini_epochs=8,
+        critic_coef=4.0,
+        reward_shaper_scale=0.1,
+        units=(32, 32),
+    )
+    tr = PPOTrainer(env, cfg, seed=42)
+    hist = tr.train(
+        max_epochs=300, log_every=10, log_fn=None, score_target=410.0
+    )
+    best = max(h["mean_ep_reward"] for h in hist)
+    assert best > 400.0, f"best mean episode reward {best}"
+
+
+def test_ppo_epoch_is_finite_and_improves_early():
+    env = VecEnv(get_task("Cartpole"), 16)
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=256, mini_epochs=4,
+        reward_shaper_scale=0.1, units=(32, 32),
+    )
+    tr = PPOTrainer(env, cfg, seed=0)
+    hist = tr.train(max_epochs=20, log_every=1, log_fn=None)
+    for h in hist:
+        assert np.isfinite(h["mean_step_reward"])
+        assert np.isfinite(h["kl"])
+    # learning signal: later mean step reward above initial
+    assert hist[-1]["mean_step_reward"] > hist[0]["mean_step_reward"]
