@@ -1,0 +1,74 @@
+"""Locomotion task smoke tests: obs dims, finiteness, stand-then-fall
+semantics (SURVEY.md §2.2 per-task contract)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniisaacgymenvs_tpu.envs import VecEnv
+from omniisaacgymenvs_tpu.tasks import get_task
+
+
+@pytest.mark.parametrize(
+    "name,num_obs,num_act",
+    [("Ant", 60, 8), ("Humanoid", 87, 21)],
+)
+def test_obs_action_dims(name, num_obs, num_act):
+    task = get_task(name)
+    assert task.num_obs == num_obs
+    assert task.num_actions == num_act
+    env = VecEnv(task, 4)
+    es = env.reset(seed=0)
+    assert es.obs.shape == (4, num_obs)
+    assert np.all(np.isfinite(np.asarray(es.obs)))
+
+
+@pytest.mark.parametrize("name", ["Ant", "Humanoid"])
+def test_random_steps_finite(name):
+    env = VecEnv(get_task(name), 4)
+    es = env.reset(seed=0)
+    rng = jax.random.PRNGKey(0)
+    for _ in range(10):
+        rng, k = jax.random.split(rng)
+        a = 0.5 * jax.random.uniform(
+            k, (4, env.num_actions), minval=-1, maxval=1
+        )
+        es = env.step(es, a)
+    assert np.all(np.isfinite(np.asarray(es.obs)))
+    assert np.all(np.isfinite(np.asarray(es.reward)))
+    # torso height obs is plausible (not exploded, not underground)
+    assert np.all(np.asarray(es.obs[:, 0]) > -1.0)
+    assert np.all(np.asarray(es.obs[:, 0]) < 5.0)
+
+
+def test_ant_zero_action_survives():
+    """With zero actions the ant should stand (height above termination)
+    for at least 60 steps — contact/integration stability check."""
+    env = VecEnv(get_task("Ant"), 4)
+    es = env.reset(seed=0)
+    for _ in range(60):
+        es = env.step(es, jnp.zeros((4, 8)))
+    heights = np.asarray(es.obs[:, 0])
+    assert np.all(heights > 0.2), heights
+    assert not np.any(np.asarray(es.done))
+
+
+def test_humanoid_falls_and_terminates():
+    """Humanoid with strong constant action torques falls; episode must
+    terminate via the height check and auto-reset restores height."""
+    env = VecEnv(get_task("Humanoid"), 4)
+    es = env.reset(seed=0)
+    a = jnp.ones((4, 21))
+    terminated = False
+    for _ in range(200):
+        es = env.step(es, a)
+        if bool(jnp.any(es.done)):
+            terminated = True
+            break
+    assert terminated
+    # next step auto-resets exactly the done envs
+    was_done = np.asarray(es.done)
+    es = env.step(es, jnp.zeros((4, 21)))
+    assert np.all(np.asarray(es.obs[:, 0])[was_done] > 0.8)
+    assert np.all(np.asarray(es.progress)[was_done] == 1)
