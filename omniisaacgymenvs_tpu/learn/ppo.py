@@ -16,6 +16,7 @@ mini_epochs x minibatch SGD.
 from __future__ import annotations
 
 import dataclasses
+import os
 import time
 from typing import Any, Optional, Sequence, Tuple
 
@@ -109,11 +110,13 @@ class PPOTrainer:
             epoch=jnp.zeros((), jnp.int32),
         )
         batch = cfg.horizon_length * n
-        assert batch % cfg.minibatch_size == 0, (
-            f"horizon*num_envs={batch} not divisible by "
-            f"minibatch_size={cfg.minibatch_size}"
-        )
-        self.num_minibatches = batch // cfg.minibatch_size
+        mb = min(cfg.minibatch_size, batch)
+        if batch % mb:
+            # largest divisor of batch not exceeding the requested size
+            # (rl_games requires exact divisibility; we auto-adjust)
+            mb = next(d for d in range(mb, 0, -1) if batch % d == 0)
+        self.minibatch_size = mb
+        self.num_minibatches = batch // mb
         self._epoch_jit = jax.jit(self._epoch)
 
     # ------------------------------------------------------------------
@@ -264,6 +267,13 @@ class PPOTrainer:
             (loss, aux), grads = grad_fn(
                 params, mb, ts.obs_norm, ts.value_norm
             )
+            # non-finite-gradient guard: skip the update rather than poison
+            # Adam state (a single exploded env would otherwise end training)
+            gok = jnp.isfinite(optax.global_norm(grads))
+            grads = jax.tree.map(
+                lambda g: jnp.where(gok, g, jnp.zeros_like(g)), grads
+            )
+            aux = jax.tree.map(lambda a: jnp.nan_to_num(a), aux)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
             if cfg.lr_schedule == "adaptive":
@@ -286,7 +296,7 @@ class PPOTrainer:
             shuffled = jax.tree.map(lambda x: x[perm], dataset)
             mbs = jax.tree.map(
                 lambda x: x.reshape(
-                    (self.num_minibatches, cfg.minibatch_size)
+                    (self.num_minibatches, self.minibatch_size)
                     + x.shape[1:]
                 ),
                 shuffled,
@@ -346,33 +356,92 @@ class PPOTrainer:
         return ts, metrics
 
     # ------------------------------------------------------------------
+    def save(self, path: str):
+        """Checkpoint params + normalizers + progress (reference: rl_games
+        .pth under runs/<experiment>/nn, README.md:82-120; here Orbax)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        payload = dict(
+            params=self.state.params,
+            obs_norm=self.state.obs_norm,
+            value_norm=self.state.value_norm,
+            lr=self.state.lr,
+            epoch=self.state.epoch,
+        )
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path, payload, force=True)
+
+    def load(self, path: str):
+        """Resume from a checkpoint (reference `checkpoint=` CLI arg)."""
+        import orbax.checkpoint as ocp
+
+        path = os.path.abspath(path)
+        ckptr = ocp.PyTreeCheckpointer()
+        target = dict(
+            params=self.state.params,
+            obs_norm=self.state.obs_norm,
+            value_norm=self.state.value_norm,
+            lr=self.state.lr,
+            epoch=self.state.epoch,
+        )
+        payload = ckptr.restore(path, item=target)
+        self.state = self.state.replace(**payload)
+
+    # ------------------------------------------------------------------
     def train(
         self,
         max_epochs: Optional[int] = None,
         log_every: int = 10,
         log_fn=print,
         score_target: Optional[float] = None,
+        save_dir: Optional[str] = None,
+        save_frequency: int = 50,
+        save_best_after: int = 100,
+        writer=None,
     ):
-        """Python driver loop; each epoch is one jitted XLA program."""
+        """Python driver loop; each epoch is one jitted XLA program.
+
+        save_dir/save_frequency/save_best_after mirror the rl_games
+        checkpointing scheme (cfg/train/*PPO.yaml); `writer` is an optional
+        metrics writer with .add_scalar(tag, value, step) (TensorBoard-like,
+        reference utils/rlgames/rlgames_utils.py:67-91)."""
         max_epochs = max_epochs or self.cfg.max_epochs
         history = []
         steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
+        best_reward = -float("inf")
         t0 = time.time()
         for epoch in range(max_epochs):
             self.state, metrics = self._epoch_jit(self.state)
-            if epoch % log_every == 0 or epoch == max_epochs - 1:
+            last = epoch == max_epochs - 1
+            if epoch % log_every == 0 or last or save_dir:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["epoch"] = epoch
                 m["env_steps"] = (epoch + 1) * steps_per_epoch
                 m["steps_per_sec"] = m["env_steps"] / (time.time() - t0)
-                history.append(m)
-                if log_fn:
-                    log_fn(
-                        f"epoch {epoch:5d} | ep_rew {m['mean_ep_reward']:9.2f} "
-                        f"| ep_len {m['mean_ep_length']:6.1f} "
-                        f"| kl {m['kl']:.4f} | lr {m['lr']:.2e} "
-                        f"| {m['steps_per_sec']:,.0f} steps/s"
-                    )
+                if epoch % log_every == 0 or last:
+                    history.append(m)
+                    if log_fn:
+                        log_fn(
+                            f"epoch {epoch:5d} | ep_rew {m['mean_ep_reward']:9.2f} "
+                            f"| ep_len {m['mean_ep_length']:6.1f} "
+                            f"| kl {m['kl']:.4f} | lr {m['lr']:.2e} "
+                            f"| {m['steps_per_sec']:,.0f} steps/s"
+                        )
+                if writer is not None:
+                    for tag in ("mean_ep_reward", "mean_ep_length", "kl",
+                                "lr", "loss", "actor_loss", "critic_loss"):
+                        writer.add_scalar(tag, m[tag], m["env_steps"])
+                if save_dir:
+                    if (epoch + 1) % save_frequency == 0:
+                        self.save(os.path.join(save_dir, "last"))
+                    if (
+                        epoch >= save_best_after
+                        and m["episodes"] > 0
+                        and m["mean_ep_reward"] > best_reward
+                    ):
+                        best_reward = m["mean_ep_reward"]
+                        self.save(os.path.join(save_dir, "best"))
                 if (
                     score_target is not None
                     and m["mean_ep_reward"] >= score_target

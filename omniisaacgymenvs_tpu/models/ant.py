@@ -53,7 +53,7 @@ def build_ant(spawn_height: float = 0.5):
             mass=m, com=com, inertia=I,
             limit=(deg(-30), deg(30)),
             armature=0.01, damping=0.1,
-            max_velocity=100.0,
+            max_velocity=30.0,
         )
         hips.append(hip)
 
@@ -70,7 +70,7 @@ def build_ant(spawn_height: float = 0.5):
             mass=m, com=com, inertia=I,
             limit=(deg(rng[0]), deg(rng[1])),
             armature=0.01, damping=0.1,
-            max_velocity=100.0,
+            max_velocity=30.0,
             default_q=deg(dq),
         )
         b.add_capsule_collider(foot, (0, 0, 0), tip, _R, n_extra=1)

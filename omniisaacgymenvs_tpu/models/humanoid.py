@@ -30,7 +30,7 @@ HUMANOID_JOINT_GEARS = (
 )
 
 _DUMMY = dict(mass=0.05, inertia=(5e-4, 5e-4, 5e-4))
-_ARM = dict(armature=0.02, damping=0.1, max_velocity=100.0)
+_ARM = dict(armature=0.02, damping=0.1, max_velocity=30.0)
 
 
 def build_humanoid(spawn_height: float = 1.34):

@@ -34,10 +34,15 @@ class ContactParams:
     kd: float = 2.0e3
     kt: float = 1.0e3
     mu: float = 1.0
+    # per-point normal force cap — the compliant analog of PhysX
+    # max_depenetration_velocity (reference cfg/task/Ant.yaml physx block):
+    # caps the velocity a contact can impart per substep.
+    fn_max: float = 1.0e9
 
 
 def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
-                        omega_dt: float = 0.7, zeta: float = 0.5) -> ContactParams:
+                        omega_dt: float = 0.7, zeta: float = 0.5,
+                        max_depenetration_velocity: float = 10.0) -> ContactParams:
     """Pick stable compliant-contact gains for a model and substep dt.
 
     Semi-implicit Euler is stable for an undamped contact spring up to
@@ -55,7 +60,8 @@ def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
     m_min = float(masses.min())
     kn = (omega_dt / dt_sub) ** 2 * m_min
     kd = 2.0 * zeta * float(np.sqrt(kn * m_min))
-    return ContactParams(kn=kn, kd=kd, kt=kd, mu=mu)
+    fn_max = m_min * max_depenetration_velocity / dt_sub
+    return ContactParams(kn=kn, kd=kd, kt=kd, mu=mu, fn_max=fn_max)
 
 
 class ContactResult(NamedTuple):
@@ -99,6 +105,7 @@ def plane_contacts(
     fn = jnp.where(
         active, jnp.maximum(0.0, params.kn * pen - params.kd * vn), 0.0
     )
+    fn = jnp.minimum(fn, params.fn_max)
     vt_norm = jnp.linalg.norm(vt, axis=-1)
     mu = params.mu * model.cp_friction
     ft_mag = jnp.minimum(mu * fn, params.kt * vt_norm)

@@ -201,8 +201,11 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
     qj_d = jnp.where(hit_lb, jnp.maximum(qj_d, 0.0), qj_d)
 
     if model.root_free:
-        omega_b = qd_new[0:3]
-        vel_b = qd_new[3:6]
+        # PhysX-style rigid body velocity caps (default maxAngularVelocity
+        # 64 rad/s); bounds runaway states so RL exploits terminate cleanly
+        omega_b = jnp.clip(qd_new[0:3], -64.0, 64.0)
+        vel_b = jnp.clip(qd_new[3:6], -1000.0, 1000.0)
+        qd_new = qd_new.at[0:3].set(omega_b).at[3:6].set(vel_b)
         quat = q[3:7]
         Rw = rot.quat_to_rotmat(quat)
         pos = q[0:3] + dt * (Rw @ vel_b)

@@ -1,0 +1,91 @@
+"""Training entry point.
+
+Reference: scripts/rlgames_train.py (Hydra main -> VecEnv -> task ->
+rl_games Runner). Usage:
+
+    python -m omniisaacgymenvs_tpu.scripts.train task=Ant num_envs=4096 \
+        seed=42 max_iterations=500 [test=True] [checkpoint=runs/Ant/nn/best]
+
+Any nested config key can be overridden with dotted syntax, e.g.
+train.params.config.horizon_length=32 (reference README.md:157-185).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from omniisaacgymenvs_tpu.learn import PPOConfig, PPOTrainer
+from omniisaacgymenvs_tpu.scripts.common import build_env_from_cli
+from omniisaacgymenvs_tpu.utils.config import ppo_config_kwargs
+
+
+def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
+    """Deterministic (mean-action) evaluation rollout (reference
+    `test=True` inference path, scripts/rlgames_train.py:79-84)."""
+    env = trainer.env
+    es = env.reset(seed=123)
+    ts = trainer.state
+    total = jnp.zeros(env.num_envs)
+    count = jnp.zeros(env.num_envs)
+    ep_ret = jnp.zeros(env.num_envs)
+
+    @jax.jit
+    def step(es, ep_ret, total, count):
+        mu, _, _ = trainer._policy(
+            ts.params, ts.obs_norm, ts.value_norm, es.obs
+        )
+        es = env._step_fn(es, jnp.clip(mu, -1.0, 1.0))
+        ep_ret = ep_ret + es.reward
+        total = total + jnp.where(es.done, ep_ret, 0.0)
+        count = count + es.done
+        ep_ret = jnp.where(es.done, 0.0, ep_ret)
+        return es, ep_ret, total, count
+
+    for _ in range(steps):
+        es, ep_ret, total, count = step(es, ep_ret, total, count)
+    n = float(jnp.sum(count))
+    mean_ret = float(jnp.sum(total)) / max(n, 1.0)
+    return mean_ret, int(n)
+
+
+def main(argv=None):
+    cfg, task, env = build_env_from_cli(argv)
+    kw = ppo_config_kwargs(cfg["train"])
+    if cfg.get("max_iterations"):
+        kw["max_epochs"] = int(cfg["max_iterations"])
+    trainer = PPOTrainer(env, PPOConfig(**kw), seed=int(cfg["seed"]))
+
+    if cfg.get("checkpoint"):
+        trainer.load(cfg["checkpoint"])
+        print(f"loaded checkpoint {cfg['checkpoint']}")
+
+    experiment = cfg.get("experiment") or cfg["task_name"]
+    run_dir = os.path.join("runs", experiment)
+    if cfg.get("test"):
+        mean_ret, n = evaluate(trainer)
+        print(f"eval: mean episode reward {mean_ret:.2f} over {n} episodes")
+        return
+
+    os.makedirs(os.path.join(run_dir, "nn"), exist_ok=True)
+    with open(os.path.join(run_dir, "config.json"), "w") as f:
+        json.dump(cfg, f, indent=2, default=str)
+    train_c = cfg["train"].get("params", {}).get("config", {})
+    print(
+        f"task={cfg['task_name']} num_envs={env.num_envs} "
+        f"devices={len(jax.devices())} seed={cfg['seed']}"
+    )
+    trainer.train(
+        save_dir=os.path.join(run_dir, "nn"),
+        save_frequency=train_c.get("save_frequency", 50),
+        save_best_after=train_c.get("save_best_after", 100),
+        log_every=1,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -145,8 +145,21 @@ class RLTask:
         reward, done, carry, metrics = self.reward_done(
             obs, action, phys, carry, progress
         )
-        obs = jnp.clip(obs, -self.clip_obs, self.clip_obs)
-        states = jnp.clip(states, -self.clip_obs, self.clip_obs)
+        # physics-explosion guard: a non-finite state terminates the episode
+        # with zero reward instead of poisoning the training batch (the
+        # reference's PhysX analogue is a solver blow-up crash,
+        # docs/troubleshoot.md:6-10 — here it is a clean env reset).
+        finite = jnp.isfinite(jnp.sum(phys.q) + jnp.sum(phys.qd) + reward)
+        done = done | ~finite
+        reward = jnp.where(finite, reward, 0.0)
+        obs = jnp.nan_to_num(
+            jnp.clip(obs, -self.clip_obs, self.clip_obs),
+            posinf=1e6, neginf=-1e6,
+        )
+        states = jnp.nan_to_num(
+            jnp.clip(states, -self.clip_obs, self.clip_obs),
+            posinf=1e6, neginf=-1e6,
+        )
         return es.replace(
             phys=phys,
             carry=carry,

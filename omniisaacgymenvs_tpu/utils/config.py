@@ -1,0 +1,118 @@
+"""Config system: YAML task/train configs + dotted CLI overrides.
+
+Replaces the reference's Hydra/OmegaConf stack (utils/hydra_cfg/*,
+cfg/config.yaml task/train groups with `train: ${task}PPO` defaulting and
+CLI overrides of any nested key, README.md:157-185) with a dependency-free
+equivalent: `task=Ant num_envs=4096 train.params.config.horizon_length=32`.
+"""
+
+from __future__ import annotations
+
+import ast
+import os
+from typing import Any, Dict, List, Optional, Sequence
+
+import yaml
+
+CFG_DIR = os.path.join(os.path.dirname(os.path.dirname(__file__)), "cfg")
+
+
+def _load_yaml(path: str) -> dict:
+    with open(path) as f:
+        return yaml.safe_load(f) or {}
+
+
+def _parse_value(v: str) -> Any:
+    try:
+        return ast.literal_eval(v)
+    except (ValueError, SyntaxError):
+        if v.lower() in ("true", "false"):
+            return v.lower() == "true"
+        if v.lower() in ("null", "none", ""):
+            return None
+        return v
+
+
+def parse_cli(argv: Sequence[str]) -> Dict[str, Any]:
+    """key=value args -> {dotted_key: parsed_value}."""
+    out: Dict[str, Any] = {}
+    for arg in argv:
+        if "=" not in arg:
+            raise SystemExit(f"arguments must be key=value, got {arg!r}")
+        k, v = arg.split("=", 1)
+        out[k] = _parse_value(v)
+    return out
+
+
+def _set_dotted(cfg: dict, key: str, value: Any) -> None:
+    parts = key.split(".")
+    d = cfg
+    for p in parts[:-1]:
+        d = d.setdefault(p, {})
+    d[parts[-1]] = value
+
+
+def load_config(overrides: Optional[Dict[str, Any]] = None) -> dict:
+    """Build the full config dict: root defaults + cfg/task/<T>.yaml +
+    cfg/train/<T>PPO.yaml + CLI overrides (mirrors reference
+    cfg/config.yaml:1-59 root keys)."""
+    overrides = dict(overrides or {})
+    root = dict(
+        task_name=overrides.pop("task", "Cartpole"),
+        num_envs=overrides.pop("num_envs", None),
+        seed=overrides.pop("seed", 42),
+        test=overrides.pop("test", False),
+        checkpoint=overrides.pop("checkpoint", ""),
+        max_iterations=overrides.pop("max_iterations", None),
+        headless=overrides.pop("headless", True),  # accepted, no-op
+        experiment=overrides.pop("experiment", ""),
+    )
+    name = root["task_name"]
+    task_path = os.path.join(CFG_DIR, "task", f"{name}.yaml")
+    train_path = os.path.join(CFG_DIR, "train", f"{name}PPO.yaml")
+    cfg = dict(root)
+    cfg["task"] = _load_yaml(task_path) if os.path.exists(task_path) else {}
+    cfg["train"] = (
+        _load_yaml(train_path) if os.path.exists(train_path) else {}
+    )
+    if root["num_envs"]:
+        _set_dotted(cfg, "task.env.numEnvs", root["num_envs"])
+    for k, v in overrides.items():
+        _set_dotted(cfg, k, v)
+    return cfg
+
+
+def ppo_config_kwargs(train_cfg: dict) -> dict:
+    """Map a reference-shaped train yaml (params.network / params.config,
+    cfg/train/*PPO.yaml) onto PPOConfig kwargs."""
+    params = train_cfg.get("params", {})
+    net = params.get("network", {})
+    c = params.get("config", {})
+    mlp = net.get("mlp", net)
+    kw = dict(
+        units=tuple(mlp.get("units", (256, 128, 64))),
+        activation=mlp.get("activation", "elu"),
+        horizon_length=c.get("horizon_length", 16),
+        minibatch_size=c.get("minibatch_size", 8192),
+        mini_epochs=c.get("mini_epochs", 4),
+        gamma=c.get("gamma", 0.99),
+        tau=c.get("tau", 0.95),
+        learning_rate=float(c.get("learning_rate", 3e-4)),
+        lr_schedule=c.get("lr_schedule", "adaptive"),
+        kl_threshold=float(c.get("kl_threshold", 0.008)),
+        e_clip=c.get("e_clip", 0.2),
+        clip_value=c.get("clip_value", True),
+        critic_coef=c.get("critic_coef", 2.0),
+        entropy_coef=c.get("entropy_coef", 0.0),
+        bounds_loss_coef=float(c.get("bounds_loss_coef", 1e-4)),
+        grad_norm=c.get("grad_norm", 1.0),
+        normalize_input=c.get("normalize_input", True),
+        normalize_value=c.get("normalize_value", True),
+        normalize_advantage=c.get("normalize_advantage", True),
+        reward_shaper_scale=float(
+            c.get("reward_shaper", {}).get("scale_value", 1.0)
+        ),
+        value_bootstrap=c.get("value_bootstrap", False),
+        max_epochs=c.get("max_epochs", 100),
+    )
+    return kw
