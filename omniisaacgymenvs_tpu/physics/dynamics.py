@@ -108,6 +108,7 @@ def aba(
     f_ext_world: jax.Array,
     kin: Kinematics,
     gravity: jax.Array,
+    h: float = 0.0,
 ) -> jax.Array:
     """Articulated-body algorithm -> qdd (nv,).
 
@@ -115,9 +116,14 @@ def aba(
     f_ext_world: (nb, 6) external wrench [torque; force] about each body
     origin, world coordinates (contacts + applied forces).
     gravity: (3,) world gravity vector.
+    h: integrator substep — adds h*(drive damping + passive damping) to the
+    joint-space diagonal, making damping implicit (Stable-PD; uncondition-
+    ally stable at the PhysX-scale gains the reference tasks author, e.g.
+    Kp=400/Kd=40 for ANYmal, reference tasks/anymal.py set_drive call).
     """
     nb = model.nb
     jd0 = model.jd0
+    d_implicit = h * (model.dof_drive_damping + model.dof_damping)
 
     # -------- pass 1 state + initial articulated quantities --------
     IA = []
@@ -152,7 +158,7 @@ def aba(
         p = model.parents[i]
         Si = kin.S[i]
         Ui = IA[i] @ Si
-        Di = Si @ Ui + model.dof_armature[i - 1]
+        Di = Si @ Ui + model.dof_armature[i - 1] + d_implicit[i - 1]
         ui = tau_joint[i - 1] - Si @ pA[i]
         Ia = IA[i] - jnp.outer(Ui, Ui) / Di
         pa = pA[i] + Ia @ c[i] + Ui * (ui / Di)
@@ -218,15 +224,19 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
     return q_new, qd_new
 
 
-def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control) -> jax.Array:
+def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control,
+                  h: float = 0.0) -> jax.Array:
     """Total active joint torque: PD drive (clamped) + direct effort +
-    passive damping/friction. Matches the PhysX joint drive force law
+    passive damping/friction. Matches the PhysX implicit joint drive law
     (stiffness*(target-q) + damping*(vtarget-qd), clamped to max_force;
-    reference tasks/utils/usd_utils.py:71-82)."""
+    reference tasks/utils/usd_utils.py:71-82) via the Stable-PD
+    discretization: the spring is evaluated at the velocity-predicted
+    position q + h*qd and the damping terms are made implicit by the
+    matching h*Kd addition to the ABA diagonal (see aba())."""
     qj = q[model.jq0:]
     qjd = qd[model.jd0:]
     drive = (
-        model.dof_stiffness * (control.pos_target - qj)
+        model.dof_stiffness * (control.pos_target - qj - h * qjd)
         + model.dof_drive_damping * (control.vel_target - qjd)
     )
     drive = jnp.clip(drive, -model.dof_max_effort, model.dof_max_effort)

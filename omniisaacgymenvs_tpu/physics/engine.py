@@ -102,33 +102,55 @@ class PhysicsEngine:
         return self._report(q, qd, jnp.zeros((max(m.num_sensors, 0), 6)))
 
     # ------------------------------------------------------------------
-    def step(self, state: State, control: Control) -> State:
-        """Advance one control step (params.substeps integrator substeps)."""
+    def _substep(self, q, qd, control: Control, f_applied, h):
+        """One integrator substep: FK -> contacts -> drives -> ABA ->
+        integrate. Returns (q, qd, sensor_forces)."""
+        m = self.model
+        kin = dynamics.kinematics(m, q, qd)
+        avel, lvel = dynamics.world_velocities(m, kin)
+        Rw = jnp.stack(kin.Rw)
+        pw = jnp.stack(kin.pw)
+        cres = plane_contacts(
+            m, pw, Rw, avel, lvel, self.contact_params, self.height_fn
+        )
+        f_ext = cres.f_ext + f_applied
+        tau = dynamics.drive_torques(m, q, qd, control, h)
+        qdd = dynamics.aba(m, q, qd, tau, f_ext, kin, self._gravity, h)
+        q, qd = dynamics.integrate(m, q, qd, qdd, h)
+        if m.num_sensors:
+            sb = jnp.asarray(m.sensor_body)
+            sensor_forces = jnp.concatenate(
+                [cres.body_force[sb], cres.body_torque[sb]], axis=-1
+            )
+        else:
+            sensor_forces = jnp.zeros((0, 6))
+        return q, qd, sensor_forces
+
+    def step_n(self, state: State, control: Control, n: int = 1) -> State:
+        """Advance n control steps under constant control (the reference's
+        `for _ in range(control_frequency_inv): world.step()`,
+        envs/vec_env_rlgames.py:64-66) — rolled into a lax.scan so the
+        compiled program stays small regardless of substeps x decimation."""
         m = self.model
         h = self.params.dt / self.params.substeps
-        q, qd = state.q, state.qd
-        sensor_forces = state.sensor_forces
-
         f_applied = jnp.concatenate(
             [control.body_torque, control.body_force], axis=-1
         )
 
-        for _ in range(self.params.substeps):
-            kin = dynamics.kinematics(m, q, qd)
-            avel, lvel = dynamics.world_velocities(m, kin)
-            Rw = jnp.stack(kin.Rw)
-            pw = jnp.stack(kin.pw)
-            cres = plane_contacts(
-                m, pw, Rw, avel, lvel, self.contact_params, self.height_fn
-            )
-            f_ext = cres.f_ext + f_applied
-            tau = dynamics.drive_torques(m, q, qd, control)
-            qdd = dynamics.aba(m, q, qd, tau, f_ext, kin, self._gravity)
-            q, qd = dynamics.integrate(m, q, qd, qdd, h)
-            if m.num_sensors:
-                sb = jnp.asarray(m.sensor_body)
-                sensor_forces = jnp.concatenate(
-                    [cres.body_force[sb], cres.body_torque[sb]], axis=-1
-                )
+        def body(carry, _):
+            q, qd, _sf = carry
+            return self._substep(q, qd, control, f_applied, h), None
 
-        return self._report(q, qd, sensor_forces)
+        init = (
+            state.q,
+            state.qd,
+            jnp.zeros((m.num_sensors, 6)),
+        )
+        (q, qd, sf), _ = jax.lax.scan(
+            body, init, None, length=n * self.params.substeps
+        )
+        return self._report(q, qd, sf)
+
+    def step(self, state: State, control: Control) -> State:
+        """Advance one control step (params.substeps integrator substeps)."""
+        return self.step_n(state, control, 1)

@@ -13,14 +13,13 @@ def _registry():
     task_map = {
         "Cartpole": CartpoleTask,
     }
-    try:
-        from omniisaacgymenvs_tpu.tasks.ant import AntLocomotionTask
-        from omniisaacgymenvs_tpu.tasks.humanoid import HumanoidLocomotionTask
+    from omniisaacgymenvs_tpu.tasks.ant import AntLocomotionTask
+    from omniisaacgymenvs_tpu.tasks.anymal import AnymalTask
+    from omniisaacgymenvs_tpu.tasks.humanoid import HumanoidLocomotionTask
 
-        task_map["Ant"] = AntLocomotionTask
-        task_map["Humanoid"] = HumanoidLocomotionTask
-    except ImportError:
-        pass
+    task_map["Ant"] = AntLocomotionTask
+    task_map["Humanoid"] = HumanoidLocomotionTask
+    task_map["Anymal"] = AnymalTask
     return task_map
 
 

@@ -114,9 +114,7 @@ class RLTask:
         """decimation x engine.step (reference envs/vec_env_rlgames.py:64-66,
         `for _ in range(control_frequency_inv): world.step`). Tasks with
         per-substep control (AnymalTerrain) override."""
-        for _ in range(self.decimation):
-            phys = self.engine.step(phys, ctrl)
-        return phys
+        return self.engine.step_n(phys, ctrl, self.decimation)
 
     def step(self, es: EnvState, action: jax.Array) -> EnvState:
         """One control step. Auto-reset-on-entry: envs flagged done on the
