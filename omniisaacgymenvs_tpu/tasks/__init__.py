@@ -15,11 +15,17 @@ def _registry():
     }
     from omniisaacgymenvs_tpu.tasks.ant import AntLocomotionTask
     from omniisaacgymenvs_tpu.tasks.anymal import AnymalTask
+    from omniisaacgymenvs_tpu.tasks.crazyflie import CrazyflieTask
     from omniisaacgymenvs_tpu.tasks.humanoid import HumanoidLocomotionTask
+    from omniisaacgymenvs_tpu.tasks.ingenuity import IngenuityTask
+    from omniisaacgymenvs_tpu.tasks.quadcopter import QuadcopterTask
 
     task_map["Ant"] = AntLocomotionTask
     task_map["Humanoid"] = HumanoidLocomotionTask
     task_map["Anymal"] = AnymalTask
+    task_map["Ingenuity"] = IngenuityTask
+    task_map["Quadcopter"] = QuadcopterTask
+    task_map["Crazyflie"] = CrazyflieTask
     return task_map
 
 

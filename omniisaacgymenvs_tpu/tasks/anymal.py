@@ -119,11 +119,6 @@ class AnymalTask(RLTask):
         es.carry["current_targets"] = targets
         return self.engine.default_control().replace(pos_target=targets)
 
-    def step(self, es: EnvState, action):
-        # carry mutation in control() needs dict copy semantics
-        es = es.replace(carry=dict(es.carry))
-        return super().step(es, action)
-
     def observe(self, phys, carry, action):
         m = self.model
         torso_rotation = phys.q[3:7]

@@ -124,6 +124,10 @@ class RLTask:
         computed and merged with `where` on the done flag."""
         rng, key_reset = jax.random.split(es.rng)
         es = es.replace(rng=rng)
+        if isinstance(es.carry, dict):
+            # tasks may update carry in-place inside control(); give each
+            # step its own dict so merged/branched states stay independent
+            es = es.replace(carry=dict(es.carry))
         fresh = self.reset(key_reset)
         es = jax.tree.map(
             lambda new, old: jnp.where(
