@@ -1,15 +1,23 @@
-"""Forward kinematics and Featherstone articulated-body dynamics (ABA).
+"""Forward kinematics and Featherstone articulated-body dynamics (ABA),
+level-batched for TPU.
 
-Single-env functions over unbatched (q, qd); the env batch is applied by vmap
-at the engine layer so every small (3,3)/(6,6) op becomes a (N, ...) batched
-op that XLA vectorizes across the TPU VPU lanes. The body loop is a static
-Python unroll (nb <= ~30), which is the XLA-friendly formulation — no dynamic
-control flow, one fused trace.
+TPU-first formulation: all per-body math is batched ACROSS bodies (one set
+of ops regardless of body count); only the tree recursions (velocity/pose
+propagation, articulated-inertia accumulation, acceleration propagation)
+are sequential, and they run per DEPTH LEVEL (humanoid: 7 levels for 31
+bodies) with each level's bodies batched and parent accumulation done with
+scatter-add. This keeps the traced XLA graph small (fast compiles through
+the remote TPU compiler) and turns the work into wide batched (nb, 6, 6)
+ops that vmap over the env axis onto the VPU lanes.
 
-Replaces the reference's external PhysX 5 GPU reduced-coordinate articulation
-solver (SURVEY.md §2.3): same generalized-coordinate semantics (breadth-first
-tree order, wxyz quaternions, per-dof armature/damping, PD drives, gyroscopic
-forces per `enable_gyroscopic_forces`)."""
+Single-env functions over unbatched (q, qd); the env batch is applied by
+vmap at the engine layer. Supports FORESTS of articulations (multiple roots
+per scene — tray+ball, hand+object; see model.py) and replaces the
+reference's external PhysX 5 GPU reduced-coordinate articulation solver
+(SURVEY.md §2.3): same generalized-coordinate semantics (breadth-first tree
+order, wxyz quaternions, per-dof armature/damping, PD drives, gyroscopic
+forces).
+"""
 
 from __future__ import annotations
 
@@ -17,6 +25,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from omniisaacgymenvs_tpu.physics import rotations as rot
 from omniisaacgymenvs_tpu.physics import spatial
@@ -24,80 +33,119 @@ from omniisaacgymenvs_tpu.physics.model import JointType, Model
 
 
 class Kinematics(NamedTuple):
-    """Per-body kinematic cache (lists of per-body arrays, length nb)."""
+    """Stacked per-body kinematic cache."""
 
-    E: list    # (3,3) rotation parent coords -> body coords
-    r: list    # (3,)  body origin in parent coords
-    v: list    # (6,)  spatial velocity in body coords [omega; vlin]
-    Rw: list   # (3,3) world rotation (x_world = Rw @ x_body)
-    pw: list   # (3,)  world position of body origin
-    S: list    # motion subspace: (6,) for 1-dof joints, None for root
+    E: jax.Array    # (nb,3,3) rotation parent coords -> body coords
+    r: jax.Array    # (nb,3)   body origin in parent coords
+    v: jax.Array    # (nb,6)   spatial velocity in body coords [omega; vlin]
+    Rw: jax.Array   # (nb,3,3) world rotation (x_world = Rw @ x_body)
+    pw: jax.Array   # (nb,3)   world position of body origin
+    S: jax.Array    # (nb,6)   motion subspace (zeros for roots)
+    vJ: jax.Array   # (nb,6)   joint velocity S*qd (zeros for roots)
 
 
-def joint_transform(model: Model, i: int, q: jax.Array):
-    """Local transform (E, r) parent->body for body i and its S axis."""
-    jt = model.jtype[i]
-    if jt == JointType.FREE:
-        quat = q[3:7]
-        E = jnp.swapaxes(rot.quat_to_rotmat(quat), -1, -2)
-        r = q[0:3]
-        return E, r, None
-    if jt == JointType.FIXED:
-        return model.joint_Et[i], model.joint_pos[i], None
-    qi = q[model.jq0 + i - 1]
-    axis = model.joint_axis[i]
-    Et, rt = model.joint_Et[i], model.joint_pos[i]
-    if jt == JointType.REVOLUTE:
-        EJ = jnp.swapaxes(
-            rot.quat_to_rotmat(rot.quat_from_angle_axis(qi, axis)), -1, -2
+class _Tree(NamedTuple):
+    """Static per-model index arrays (numpy, trace-time constants)."""
+
+    jb: np.ndarray            # (njd,) body index per joint, joint order
+    is_rev: np.ndarray        # (njd,) 1.0 for revolute, 0.0 prismatic
+    lvl_b: tuple              # per level: np body indices
+    lvl_p: tuple              # per level: np parent body indices
+    lvl_jd: tuple             # per level: np joint indices
+
+
+_TREE_CACHE: dict = {}
+
+
+def _tree(model: Model) -> _Tree:
+    key = id(model)
+    t = _TREE_CACHE.get(key)
+    if t is None:
+        jb = np.array(
+            [i for i in range(model.nb) if model.parents[i] != -1], np.int32
         )
-        E = EJ @ Et
-        r = rt
-        S = jnp.concatenate([axis, jnp.zeros(3)])
-    else:  # PRISMATIC
-        E = Et
-        r = rt + jnp.swapaxes(Et, -1, -2) @ (qi * axis)
-        S = jnp.concatenate([jnp.zeros(3), axis])
-    return E, r, S
+        is_rev = np.array(
+            [1.0 if model.jtype[i] == JointType.REVOLUTE else 0.0 for i in jb],
+            np.float32,
+        )
+        lvl_b, lvl_p, lvl_jd = [], [], []
+        for lvl in model.levels:
+            b = np.asarray(lvl, np.int32)
+            lvl_b.append(b)
+            lvl_p.append(np.array([model.parents[i] for i in lvl], np.int32))
+            lvl_jd.append(np.array([model.jdof[i] for i in lvl], np.int32))
+        t = _Tree(jb, is_rev, tuple(lvl_b), tuple(lvl_p), tuple(lvl_jd))
+        _TREE_CACHE[key] = t
+    return t
 
 
 def kinematics(model: Model, q: jax.Array, qd: jax.Array) -> Kinematics:
     """Forward pass: local transforms, body-frame velocities, world poses."""
-    E, r, v, Rw, pw, S = [], [], [], [], [], []
-    for i in range(model.nb):
-        Ei, ri, Si = joint_transform(model, i, q)
-        jt = model.jtype[i]
-        if i == 0:
-            if jt == JointType.FREE:
-                vi = qd[0:6]
-            else:
-                vi = jnp.zeros(6)
-            Rwi = jnp.swapaxes(Ei, -1, -2)
-            pwi = ri
+    nb = model.nb
+    tr = _tree(model)
+
+    # ---- all 1-dof joints batched ----
+    qj = q[model.jq_idx]
+    qjd = qd[model.jv_idx]
+    axis = model.joint_axis[tr.jb]
+    Et = model.joint_Et[tr.jb]
+    rt = model.joint_pos[tr.jb]
+    is_rev = jnp.asarray(tr.is_rev)
+
+    ang = qj * is_rev
+    Rj = rot.quat_to_rotmat(rot.quat_from_angle_axis(ang, axis))
+    Ej = jnp.swapaxes(Rj, -1, -2) @ Et
+    slide = (axis * (qj * (1.0 - is_rev))[:, None])
+    rj = rt + jnp.einsum("kji,kj->ki", Et, slide)
+    S = jnp.concatenate(
+        [axis * is_rev[:, None], axis * (1.0 - is_rev)[:, None]], axis=-1
+    )
+    vJ = S * qjd[:, None]
+
+    E = jnp.zeros((nb, 3, 3)).at[tr.jb].set(Ej)
+    r = jnp.zeros((nb, 3)).at[tr.jb].set(rj)
+    S_all = jnp.zeros((nb, 6)).at[tr.jb].set(S)
+    vJ_all = jnp.zeros((nb, 6)).at[tr.jb].set(vJ)
+
+    v = jnp.zeros((nb, 6))
+    Rw = jnp.zeros((nb, 3, 3))
+    pw = jnp.zeros((nb, 3))
+
+    # ---- roots (few; python loop) ----
+    for i in model.roots:
+        qa, va = model.q_adr[i], model.v_adr[i]
+        if model.jtype[i] == JointType.FREE:
+            quat = q[qa + 3 : qa + 7]
+            Rwi = rot.quat_to_rotmat(quat)
+            Ei = jnp.swapaxes(Rwi, -1, -2)
+            ri = q[qa : qa + 3]
+            v = v.at[i].set(qd[va : va + 6])
         else:
-            p = model.parents[i]
-            vJ = Si * qd[model.jd0 + i - 1]
-            vi = spatial.transform_motion(Ei, ri, v[p]) + vJ
-            Rwi = Rw[p] @ jnp.swapaxes(Ei, -1, -2)
-            pwi = pw[p] + Rw[p] @ ri
-        E.append(Ei)
-        r.append(ri)
-        v.append(vi)
-        Rw.append(Rwi)
-        pw.append(pwi)
-        S.append(Si)
-    return Kinematics(E, r, v, Rw, pw, S)
+            Ei = model.joint_Et[i]
+            ri = model.joint_pos[i]
+            Rwi = jnp.swapaxes(Ei, -1, -2)
+        E = E.at[i].set(Ei)
+        r = r.at[i].set(ri)
+        Rw = Rw.at[i].set(Rwi)
+        pw = pw.at[i].set(ri)
+
+    # ---- propagate by level ----
+    for b, p in zip(tr.lvl_b, tr.lvl_p):
+        vb = spatial.transform_motion(E[b], r[b], v[p]) + vJ_all[b]
+        Rwb = Rw[p] @ jnp.swapaxes(E[b], -1, -2)
+        pwb = pw[p] + jnp.einsum("kij,kj->ki", Rw[p], r[b])
+        v = v.at[b].set(vb)
+        Rw = Rw.at[b].set(Rwb)
+        pw = pw.at[b].set(pwb)
+
+    return Kinematics(E, r, v, Rw, pw, S_all, vJ_all)
 
 
 def world_velocities(model: Model, kin: Kinematics):
     """World-frame (angular, linear) velocity of each body origin."""
-    avel, lvel = [], []
-    for i in range(model.nb):
-        w_b = kin.v[i][0:3]
-        v_b = kin.v[i][3:6]
-        avel.append(kin.Rw[i] @ w_b)
-        lvel.append(kin.Rw[i] @ v_b)
-    return jnp.stack(avel), jnp.stack(lvel)
+    avel = jnp.einsum("kij,kj->ki", kin.Rw, kin.v[:, 0:3])
+    lvel = jnp.einsum("kij,kj->ki", kin.Rw, kin.v[:, 3:6])
+    return avel, lvel
 
 
 def aba(
@@ -115,76 +163,76 @@ def aba(
     tau_joint: (njd,) total active torque per joint dof.
     f_ext_world: (nb, 6) external wrench [torque; force] about each body
     origin, world coordinates (contacts + applied forces).
-    gravity: (3,) world gravity vector.
-    h: integrator substep — adds h*(drive damping + passive damping) to the
-    joint-space diagonal, making damping implicit (Stable-PD; uncondition-
-    ally stable at the PhysX-scale gains the reference tasks author, e.g.
-    Kp=400/Kd=40 for ANYmal, reference tasks/anymal.py set_drive call).
+    h: integrator substep — adds h*(drive + passive damping) to the joint
+    diagonal (implicit damping / Stable-PD; see drive_torques).
     """
     nb = model.nb
-    jd0 = model.jd0
+    tr = _tree(model)
     d_implicit = h * (model.dof_drive_damping + model.dof_damping)
 
-    # -------- pass 1 state + initial articulated quantities --------
-    IA = []
-    pA = []
-    c = []
-    for i in range(nb):
-        Ib = spatial.spatial_inertia(
-            model.body_mass[i], model.body_com[i], model.body_inertia[i]
+    # ---- batched articulated quantities ----
+    IA = spatial.spatial_inertia(
+        model.body_mass, model.body_com, model.body_inertia
+    )  # (nb,6,6)
+    v = kin.v
+    pA = spatial.cross_force(v, jnp.einsum("kij,kj->ki", IA, v))
+    ERw = jnp.swapaxes(kin.Rw, -1, -2)
+    f_b = jnp.concatenate(
+        [
+            jnp.einsum("kij,kj->ki", ERw, f_ext_world[:, 0:3]),
+            jnp.einsum("kij,kj->ki", ERw, f_ext_world[:, 3:6]),
+        ],
+        axis=-1,
+    )
+    pA = pA - f_b
+    c = jnp.zeros((nb, 6)).at[tr.jb].set(
+        spatial.cross_motion(v[tr.jb], kin.vJ[tr.jb])
+    )
+    X = spatial.motion_transform(kin.E, kin.r)  # (nb,6,6)
+
+    U_all = jnp.zeros((nb, 6))
+    D_all = jnp.ones((nb,))
+    u_all = jnp.zeros((nb,))
+
+    # ---- pass 2: inward by level (deepest first) ----
+    for b, p, jd in zip(tr.lvl_b[::-1], tr.lvl_p[::-1], tr.lvl_jd[::-1]):
+        Sb = kin.S[b]
+        U = jnp.einsum("kij,kj->ki", IA[b], Sb)
+        D = jnp.sum(Sb * U, axis=-1) + model.dof_armature[jd] + d_implicit[jd]
+        uu = tau_joint[jd] - jnp.sum(Sb * pA[b], axis=-1)
+        Ia = IA[b] - U[:, :, None] * U[:, None, :] / D[:, None, None]
+        pa = (
+            pA[b]
+            + jnp.einsum("kij,kj->ki", Ia, c[b])
+            + U * (uu / D)[:, None]
         )
-        vi = kin.v[i]
-        # gyroscopic / Coriolis bias force v x* (I v)
-        pAi = spatial.cross_force(vi, Ib @ vi)
-        # external wrench: world -> body coords (E = Rw^T, applied at origin)
-        ERw = jnp.swapaxes(kin.Rw[i], -1, -2)
-        n_b = ERw @ f_ext_world[i, 0:3]
-        f_b = ERw @ f_ext_world[i, 3:6]
-        pAi = pAi - jnp.concatenate([n_b, f_b])
-        IA.append(Ib)
-        pA.append(pAi)
-        if i == 0 or model.jtype[i] == JointType.FIXED:
-            ci = jnp.zeros(6)
-        else:
-            vJ = kin.S[i] * qd[jd0 + i - 1]
-            ci = spatial.cross_motion(kin.v[i], vJ)
-        c.append(ci)
+        Xb = X[b]
+        XbT = jnp.swapaxes(Xb, -1, -2)
+        IA = IA.at[p].add(XbT @ Ia @ Xb)
+        pA = pA.at[p].add(jnp.einsum("kij,kj->ki", XbT, pa))
+        U_all = U_all.at[b].set(U)
+        D_all = D_all.at[b].set(D)
+        u_all = u_all.at[b].set(uu)
 
-    # -------- pass 2: inward articulated inertia propagation --------
-    U = [None] * nb
-    D = [None] * nb
-    u = [None] * nb
-    for i in range(nb - 1, 0, -1):
-        p = model.parents[i]
-        Si = kin.S[i]
-        Ui = IA[i] @ Si
-        Di = Si @ Ui + model.dof_armature[i - 1] + d_implicit[i - 1]
-        ui = tau_joint[i - 1] - Si @ pA[i]
-        Ia = IA[i] - jnp.outer(Ui, Ui) / Di
-        pa = pA[i] + Ia @ c[i] + Ui * (ui / Di)
-        X = spatial.motion_transform(kin.E[i], kin.r[i])
-        IA[p] = IA[p] + X.T @ Ia @ X
-        pA[p] = pA[p] + X.T @ pa
-        U[i], D[i], u[i] = Ui, Di, ui
-
-    # -------- pass 3: outward accelerations --------
+    # ---- pass 3: outward accelerations ----
     a_world = jnp.concatenate([jnp.zeros(3), -gravity])
+    a = jnp.zeros((nb, 6))
     qdd = jnp.zeros_like(qd)
-    a = [None] * nb
-    a0p = spatial.transform_motion(kin.E[0], kin.r[0], a_world)
-    if model.root_free:
-        # root joint: S = I6, U = IA0, D = IA0, u = -pA0
-        qdd_root = jnp.linalg.solve(IA[0], -(pA[0] + IA[0] @ a0p))
-        qdd = qdd.at[0:6].set(qdd_root)
-        a[0] = a0p + qdd_root
-    else:
-        a[0] = a0p
-    for i in range(1, nb):
-        p = model.parents[i]
-        a_p = spatial.transform_motion(kin.E[i], kin.r[i], a[p]) + c[i]
-        qdd_i = (u[i] - U[i] @ a_p) / D[i]
-        qdd = qdd.at[jd0 + i - 1].set(qdd_i)
-        a[i] = a_p + kin.S[i] * qdd_i
+    for i in model.roots:
+        a0p = spatial.transform_motion(kin.E[i], kin.r[i], a_world)
+        if model.jtype[i] == JointType.FREE:
+            va = model.v_adr[i]
+            qdd_root = jnp.linalg.solve(IA[i], -(pA[i] + IA[i] @ a0p))
+            qdd = qdd.at[va : va + 6].set(qdd_root)
+            a = a.at[i].set(a0p + qdd_root)
+        else:
+            a = a.at[i].set(a0p)
+    jv = jnp.asarray(model.jv_idx)
+    for b, p, jd in zip(tr.lvl_b, tr.lvl_p, tr.lvl_jd):
+        a_p = spatial.transform_motion(kin.E[b], kin.r[b], a[p]) + c[b]
+        qdd_j = (u_all[b] - jnp.sum(U_all[b] * a_p, axis=-1)) / D_all[b]
+        qdd = qdd.at[jv[jd]].set(qdd_j)
+        a = a.at[b].set(a_p + kin.S[b] * qdd_j[:, None])
     return qdd
 
 
@@ -192,12 +240,11 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
     """Semi-implicit Euler with joint velocity clamp and hard limit
     projection (PhysX-style maxJointVelocity + limit constraints,
     reference robots/articulations/franka.py:86)."""
-    jd0, jq0 = model.jd0, model.jq0
     qd_new = qd + dt * qdd
     qj_d = jnp.clip(
-        qd_new[jd0:], -model.dof_max_velocity, model.dof_max_velocity
+        qd_new[model.jv_idx], -model.dof_max_velocity, model.dof_max_velocity
     )
-    qj = q[jq0:] + dt * qj_d
+    qj = q[model.jq_idx] + dt * qj_d
 
     # hard limit projection: clamp q, zero outward velocity
     hit_lb = qj < model.dof_limit_lower
@@ -206,21 +253,25 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
     qj_d = jnp.where(hit_ub, jnp.minimum(qj_d, 0.0), qj_d)
     qj_d = jnp.where(hit_lb, jnp.maximum(qj_d, 0.0), qj_d)
 
-    if model.root_free:
+    q_new = q.at[model.jq_idx].set(qj)
+    qd_new = qd_new.at[model.jv_idx].set(qj_d)
+
+    for i in model.roots:
+        if model.jtype[i] != JointType.FREE:
+            continue
+        qa, va = model.q_adr[i], model.v_adr[i]
         # PhysX-style rigid body velocity caps (default maxAngularVelocity
         # 64 rad/s); bounds runaway states so RL exploits terminate cleanly
-        omega_b = jnp.clip(qd_new[0:3], -64.0, 64.0)
-        vel_b = jnp.clip(qd_new[3:6], -1000.0, 1000.0)
-        qd_new = qd_new.at[0:3].set(omega_b).at[3:6].set(vel_b)
-        quat = q[3:7]
+        omega_b = jnp.clip(qd_new[va : va + 3], -64.0, 64.0)
+        vel_b = jnp.clip(qd_new[va + 3 : va + 6], -1000.0, 1000.0)
+        quat = q[qa + 3 : qa + 7]
         Rw = rot.quat_to_rotmat(quat)
-        pos = q[0:3] + dt * (Rw @ vel_b)
+        pos = q[qa : qa + 3] + dt * (Rw @ vel_b)
         quat = rot.quat_normalize(rot.quat_integrate_body(quat, omega_b, dt))
-        q_new = jnp.concatenate([pos, quat, qj])
-        qd_new = jnp.concatenate([qd_new[0:6], qj_d])
-    else:
-        q_new = qj
-        qd_new = qj_d
+        q_new = q_new.at[qa : qa + 3].set(pos)
+        q_new = q_new.at[qa + 3 : qa + 7].set(quat)
+        qd_new = qd_new.at[va : va + 3].set(omega_b)
+        qd_new = qd_new.at[va + 3 : va + 6].set(vel_b)
     return q_new, qd_new
 
 
@@ -233,8 +284,8 @@ def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control,
     discretization: the spring is evaluated at the velocity-predicted
     position q + h*qd and the damping terms are made implicit by the
     matching h*Kd addition to the ABA diagonal (see aba())."""
-    qj = q[model.jq0:]
-    qjd = qd[model.jd0:]
+    qj = q[model.jq_idx]
+    qjd = qd[model.jv_idx]
     drive = (
         model.dof_stiffness * (control.pos_target - qj - h * qjd)
         + model.dof_drive_damping * (control.vel_target - qjd)

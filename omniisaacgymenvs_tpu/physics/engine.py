@@ -19,6 +19,8 @@ from omniisaacgymenvs_tpu.physics import dynamics, rotations as rot
 from omniisaacgymenvs_tpu.physics.contacts import (
     ContactParams,
     auto_contact_params,
+    build_pair_groups,
+    pair_contacts,
     plane_contacts,
 )
 from omniisaacgymenvs_tpu.physics.model import Model
@@ -62,6 +64,8 @@ class PhysicsEngine:
                 model, params.dt / params.substeps, mu=params.friction
             )
         )
+        self.pair_groups = build_pair_groups(model)
+        self._has_pairs = len(model.pair_surf) > 0
 
     # ------------------------------------------------------------------
     def default_control(self) -> Control:
@@ -79,14 +83,11 @@ class PhysicsEngine:
         """Fresh FK to fill the derived world-frame fields."""
         kin = dynamics.kinematics(self.model, q, qd)
         avel, lvel = dynamics.world_velocities(self.model, kin)
-        body_quat = jnp.stack(
-            [rot.rotmat_to_quat(kin.Rw[i]) for i in range(self.model.nb)]
-        )
         return State(
             q=q,
             qd=qd,
-            body_pos=jnp.stack(kin.pw),
-            body_quat=body_quat,
+            body_pos=kin.pw,
+            body_quat=rot.rotmat_to_quat(kin.Rw),
             body_lvel=lvel,
             body_avel=avel,
             sensor_forces=sensor_forces,
@@ -108,12 +109,16 @@ class PhysicsEngine:
         m = self.model
         kin = dynamics.kinematics(m, q, qd)
         avel, lvel = dynamics.world_velocities(m, kin)
-        Rw = jnp.stack(kin.Rw)
-        pw = jnp.stack(kin.pw)
+        Rw = kin.Rw
+        pw = kin.pw
         cres = plane_contacts(
             m, pw, Rw, avel, lvel, self.contact_params, self.height_fn
         )
         f_ext = cres.f_ext + f_applied
+        if self._has_pairs:
+            f_ext = f_ext + pair_contacts(
+                m, self.pair_groups, pw, Rw, avel, lvel, self.contact_params
+            )
         tau = dynamics.drive_torques(m, q, qd, control, h)
         qdd = dynamics.aba(m, q, qd, tau, f_ext, kin, self._gravity, h)
         q, qd = dynamics.integrate(m, q, qd, qdd, h)

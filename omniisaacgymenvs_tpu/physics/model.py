@@ -9,13 +9,17 @@ Design notes (TPU-first):
   * Model structure (tree topology, joint types) is static Python metadata —
     it shapes the unrolled trace of the dynamics; numeric parameters are
     jnp arrays closed over by the jitted step.
-  * Non-root joints are single-dof (revolute/prismatic). Multi-dof joints are
-    authored as chains of 1-dof joints through near-massless intermediate
-    bodies (the same convention MJCF compiles to). The root joint is FREE
-    (floating base, 7q/6v) or FIXED (0 dof).
-  * Collision geometry is compiled to a flat list of contact *points*
-    (sphere centers with radii: spheres 1 pt, capsules 2, boxes 8 corners)
-    so plane/heightfield collision is a fully static-shape batched test.
+  * A model is a FOREST: any body with parent=-1 is a root (FREE floating
+    base with 7q/6v, or FIXED). This is how multi-actor scenes (tray+ball,
+    franka+cabinet, hand+object — reference scenes with several USD actors
+    per env) compile into one state vector per env.
+  * Non-root joints are single-dof (revolute/prismatic). Multi-dof joints
+    are authored as chains of 1-dof joints through near-massless
+    intermediate bodies (the same convention MJCF compiles to).
+  * Collision geometry compiles to (a) a flat list of contact *points*
+    (sphere centers with radii) tested against the ground plane/heightfield
+    and (b) receiver *surfaces* (spheres/capsules/boxes) tested against the
+    points of OTHER trees — all static-shape batched tests.
 """
 
 from __future__ import annotations
@@ -35,6 +39,12 @@ class JointType(enum.IntEnum):
     FIXED = 3
 
 
+class SurfaceType(enum.IntEnum):
+    SPHERE = 0
+    CAPSULE = 1
+    BOX = 2
+
+
 @dataclasses.dataclass(frozen=True)
 class Model:
     """Frozen articulation model. Numeric fields are jnp arrays used as
@@ -42,14 +52,22 @@ class Model:
 
     name: str
     # --- structure (static) ---
-    nb: int                      # number of bodies (body 0 = root)
+    nb: int                      # number of bodies
     nq: int                      # generalized position dim
     nv: int                      # generalized velocity dim
-    root_free: bool              # True: floating base (q[0:7], qd[0:6])
-    parents: Tuple[int, ...]     # parent body index per body (root: -1)
-    jtype: Tuple[int, ...]       # JointType per body (root: FREE/FIXED)
+    njd: int                     # number of 1-dof joints
+    parents: Tuple[int, ...]     # parent body index per body (roots: -1)
+    jtype: Tuple[int, ...]       # JointType per body
+    q_adr: Tuple[int, ...]       # start index into q per body
+    v_adr: Tuple[int, ...]       # start index into qd per body
+    jdof: Tuple[int, ...]        # joint-dof index per body (-1 for roots)
+    tree_id: Tuple[int, ...]     # which tree (root) each body belongs to
+    roots: Tuple[int, ...]       # body indices of the roots
+    # non-root bodies grouped by tree depth (ascending) — the level-batched
+    # dynamics processes one level at a time with all its bodies batched
+    levels: Tuple[Tuple[int, ...], ...]
     body_names: Tuple[str, ...]
-    dof_names: Tuple[str, ...]   # joint dof names (len nv - root dofs)
+    dof_names: Tuple[str, ...]   # 1-dof joint names, joint order
     # --- joint geometry / numerics ---
     joint_axis: jnp.ndarray      # (nb, 3) axis in child coords (unit)
     joint_pos: jnp.ndarray       # (nb, 3) joint frame origin in parent coords
@@ -58,39 +76,50 @@ class Model:
     body_mass: jnp.ndarray       # (nb,)
     body_com: jnp.ndarray        # (nb, 3)
     body_inertia: jnp.ndarray    # (nb, 3, 3) about CoM, body coords
-    # --- per joint dof (njd = nb - 1), aligned with q[jq0:] / qd[jd0:] ---
-    dof_limit_lower: jnp.ndarray  # (njd,)
-    dof_limit_upper: jnp.ndarray  # (njd,)
-    dof_armature: jnp.ndarray     # (njd,)
-    dof_damping: jnp.ndarray      # (njd,) passive damping
-    dof_friction: jnp.ndarray     # (njd,) dry friction torque
-    dof_stiffness: jnp.ndarray    # (njd,) drive Kp
-    dof_drive_damping: jnp.ndarray  # (njd,) drive Kd
-    dof_max_effort: jnp.ndarray   # (njd,) drive force clamp
-    dof_max_velocity: jnp.ndarray  # (njd,)
-    # --- contact points ---
+    # --- per joint dof (njd,), joint order; q[jq_idx] <-> qd[jv_idx] ---
+    jq_idx: jnp.ndarray          # (njd,) int32 indices into q
+    jv_idx: jnp.ndarray          # (njd,) int32 indices into qd
+    dof_limit_lower: jnp.ndarray
+    dof_limit_upper: jnp.ndarray
+    dof_armature: jnp.ndarray
+    dof_damping: jnp.ndarray
+    dof_friction: jnp.ndarray
+    dof_stiffness: jnp.ndarray
+    dof_drive_damping: jnp.ndarray
+    dof_max_effort: jnp.ndarray
+    dof_max_velocity: jnp.ndarray
+    # --- contact points (vs plane/heightfield and other-tree surfaces) ---
     cp_body: jnp.ndarray         # (ncp,) int32 body index per contact point
     cp_pos: jnp.ndarray          # (ncp, 3) point in body coords
     cp_radius: jnp.ndarray       # (ncp,)
-    cp_friction: jnp.ndarray     # (ncp,) friction coefficient
+    cp_friction: jnp.ndarray     # (ncp,)
+    # --- receiver surfaces (point-vs-surface pairwise contacts) ---
+    surf_type: Tuple[int, ...]   # SurfaceType per surface (static)
+    surf_body: Tuple[int, ...]   # body index per surface (static)
+    surf_params: Tuple[tuple, ...]  # per-surface geometry (static floats)
+    # precomputed cross-tree (point, surface) candidate pairs
+    pair_point: jnp.ndarray      # (npair,) int32 index into cp_*
+    pair_surf: Tuple[int, ...]   # (npair,) surface index (static)
     # --- force sensors: aggregate contact wrench per sensor body ---
     sensor_body: Tuple[int, ...]
     # --- default pose ---
     default_q: jnp.ndarray       # (nq,)
 
+    # ------------------------------------------------------------------
+    @property
+    def root_free(self) -> bool:
+        """Single-root convenience: is the first root floating?"""
+        return self.jtype[self.roots[0]] == JointType.FREE
+
     @property
     def jd0(self) -> int:
-        """First joint-dof index in qd."""
+        """First joint-dof index in qd — valid for single-root models where
+        the root's dofs lead the vector (the common case)."""
         return 6 if self.root_free else 0
 
     @property
     def jq0(self) -> int:
-        """First joint-coordinate index in q."""
         return 7 if self.root_free else 0
-
-    @property
-    def njd(self) -> int:
-        return self.nb - 1
 
     @property
     def num_sensors(self) -> int:
@@ -103,6 +132,17 @@ class Model:
 
     def body_index(self, name: str) -> int:
         return self.body_names.index(name)
+
+    def root_q_adr(self, body_name: str) -> int:
+        """Start of a FREE root's 7 coords [pos, quat] in q."""
+        i = self.body_index(body_name)
+        assert self.jtype[i] == JointType.FREE
+        return self.q_adr[i]
+
+    def root_v_adr(self, body_name: str) -> int:
+        i = self.body_index(body_name)
+        assert self.jtype[i] == JointType.FREE
+        return self.v_adr[i]
 
 
 @dataclasses.dataclass
@@ -125,6 +165,7 @@ class _BodySpec:
     max_effort: float
     max_velocity: float
     default_q: float
+    default_pose: Optional[np.ndarray]  # roots: 7-vector [pos, quat]
 
 
 def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
@@ -145,8 +186,8 @@ class ModelBuilder:
         self.name = name
         self._bodies: List[_BodySpec] = []
         self._cp: List[Tuple[int, np.ndarray, float, float]] = []
+        self._surfaces: List[Tuple[int, int, tuple]] = []  # (type, body, params)
         self._sensors: List[int] = []
-        self._root_default_q: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------------
     def add_body(
@@ -169,16 +210,16 @@ class ModelBuilder:
         max_effort: float = 1e9,
         max_velocity: float = 1e9,
         default_q: float = 0.0,
+        default_pos: Sequence[float] = (0.0, 0.0, 0.0),
+        default_quat: Sequence[float] = (1.0, 0.0, 0.0, 0.0),
     ) -> int:
-        """Add a body connected to `parent` by a joint. Returns body index.
-
-        `inertia` may be a 3-vector (diagonal) or 3x3 matrix, about the CoM.
-        The first body added must be the root (parent=-1, joint_type FREE or
-        FIXED).
-        """
+        """Add a body. parent=-1 adds a new root (FREE or FIXED); otherwise
+        a 1-dof joint (REVOLUTE/PRISMATIC) connects to `parent`. Returns the
+        body index. `inertia`: 3-vector diagonal or 3x3 matrix about CoM.
+        `default_pos/quat`: initial world pose for FREE roots."""
         idx = len(self._bodies)
-        if idx == 0:
-            assert parent == -1 and joint_type in (JointType.FREE, JointType.FIXED)
+        if parent == -1:
+            assert joint_type in (JointType.FREE, JointType.FIXED)
         else:
             assert 0 <= parent < idx, "bodies must be added in topological order"
             assert joint_type in (JointType.REVOLUTE, JointType.PRISMATIC)
@@ -188,48 +229,60 @@ class ModelBuilder:
         axis = np.asarray(joint_axis, dtype=np.float64)
         n = np.linalg.norm(axis)
         axis = axis / n if n > 0 else axis
+        default_pose = None
+        if parent == -1 and joint_type == JointType.FREE:
+            default_pose = np.concatenate(
+                [np.asarray(default_pos, np.float64),
+                 np.asarray(default_quat, np.float64)]
+            )
         self._bodies.append(
             _BodySpec(
-                name=name,
-                parent=parent,
-                jtype=joint_type,
-                axis=axis,
+                name=name, parent=parent, jtype=joint_type, axis=axis,
                 joint_pos=np.asarray(joint_pos, dtype=np.float64),
                 joint_quat=np.asarray(joint_quat, dtype=np.float64),
-                mass=float(mass),
-                com=np.asarray(com, dtype=np.float64),
-                inertia=inertia,
-                limit=limit,
-                armature=armature,
-                damping=damping,
-                friction=friction,
-                stiffness=stiffness,
-                drive_damping=drive_damping,
-                max_effort=max_effort,
-                max_velocity=max_velocity,
-                default_q=default_q,
+                mass=float(mass), com=np.asarray(com, dtype=np.float64),
+                inertia=inertia, limit=limit, armature=armature,
+                damping=damping, friction=friction, stiffness=stiffness,
+                drive_damping=drive_damping, max_effort=max_effort,
+                max_velocity=max_velocity, default_q=default_q,
+                default_pose=default_pose,
             )
         )
         return idx
 
     # ------------------------------------------------------------------
-    def add_sphere_collider(self, body: int, pos, radius: float, friction: float = 1.0):
+    def add_sphere_collider(self, body: int, pos, radius: float,
+                            friction: float = 1.0, receive: bool = False):
         self._cp.append((body, np.asarray(pos, dtype=np.float64), radius, friction))
+        if receive:
+            self._surfaces.append(
+                (int(SurfaceType.SPHERE), body,
+                 tuple(np.asarray(pos, float)) + (float(radius),))
+            )
 
     def add_capsule_collider(
         self, body: int, p0, p1, radius: float, friction: float = 1.0,
-        n_extra: int = 0,
+        n_extra: int = 0, receive: bool = False,
     ):
-        """Capsule by endcap centers; contacts at the endcap spheres (plus
-        optional evenly spaced intermediate points)."""
+        """Capsule by endcap centers; contact points at the endcap spheres
+        (plus optional intermediate points); optionally also a receiver
+        surface for other trees' points."""
         p0 = np.asarray(p0, dtype=np.float64)
         p1 = np.asarray(p1, dtype=np.float64)
         for t in np.linspace(0.0, 1.0, 2 + n_extra):
             self._cp.append((body, p0 + t * (p1 - p0), radius, friction))
+        if receive:
+            self._surfaces.append(
+                (int(SurfaceType.CAPSULE), body,
+                 tuple(p0) + tuple(p1) + (float(radius),))
+            )
 
-    def add_box_collider(self, body: int, pos, half_extents, friction: float = 1.0,
-                         quat=(1.0, 0.0, 0.0, 0.0)):
-        """Box by center + half extents; contacts at the 8 corners."""
+    def add_box_collider(self, body: int, pos, half_extents,
+                         friction: float = 1.0, quat=(1.0, 0.0, 0.0, 0.0),
+                         receive: bool = False):
+        """Box by center + half extents; contact points at the 8 corners;
+        optionally a receiver surface (axis-aligned in body frame after
+        quat)."""
         pos = np.asarray(pos, dtype=np.float64)
         h = np.asarray(half_extents, dtype=np.float64)
         R = _quat_to_mat_np(np.asarray(quat, dtype=np.float64))
@@ -238,14 +291,24 @@ class ModelBuilder:
                 for sz in (-1, 1):
                     corner = pos + R @ (h * np.array([sx, sy, sz]))
                     self._cp.append((body, corner, 0.0, friction))
+        if receive:
+            self._surfaces.append(
+                (int(SurfaceType.BOX), body,
+                 tuple(pos) + tuple(h) + tuple(np.asarray(quat, float)))
+            )
+
+    def add_contact_point(self, body: int, pos, radius: float = 0.0,
+                          friction: float = 1.0):
+        """Raw contact point (e.g. fingertip pad)."""
+        self._cp.append((body, np.asarray(pos, dtype=np.float64), radius, friction))
 
     def add_force_sensor(self, body: int):
         """Register a contact wrench sensor on `body` (reference:
         get_force_sensor_forces, tasks/shared/locomotion.py:89)."""
         self._sensors.append(body)
 
-    def set_root_default(self, pos=(0, 0, 0), quat=(1, 0, 0, 0)):
-        self._root_default_q = np.concatenate(
+    def set_root_default(self, pos=(0, 0, 0), quat=(1, 0, 0, 0), body: int = 0):
+        self._bodies[body].default_pose = np.concatenate(
             [np.asarray(pos, np.float64), np.asarray(quat, np.float64)]
         )
 
@@ -253,12 +316,28 @@ class ModelBuilder:
     def finalize(self, dtype=jnp.float32) -> Model:
         bodies = self._bodies
         nb = len(bodies)
-        root_free = bodies[0].jtype == JointType.FREE
-        jd0 = 6 if root_free else 0
-        jq0 = 7 if root_free else 0
-        njd = nb - 1
-        nq = jq0 + njd
-        nv = jd0 + njd
+
+        # addressing
+        q_adr, v_adr, jdof, tree_id, roots = [], [], [], [], []
+        dof_names: List[str] = []
+        nq = nv = njd = 0
+        for i, b in enumerate(bodies):
+            q_adr.append(nq)
+            v_adr.append(nv)
+            if b.parent == -1:
+                roots.append(i)
+                tree_id.append(len(roots) - 1)
+                jdof.append(-1)
+                if b.jtype == JointType.FREE:
+                    nq += 7
+                    nv += 6
+            else:
+                tree_id.append(tree_id[b.parent])
+                jdof.append(njd)
+                dof_names.append(b.name)
+                nq += 1
+                nv += 1
+                njd += 1
 
         def arr(fn, shape_tail=()):
             out = np.zeros((nb,) + shape_tail)
@@ -268,47 +347,81 @@ class ModelBuilder:
 
         joint_axis = arr(lambda b: b.axis, (3,))
         joint_pos = arr(lambda b: b.joint_pos, (3,))
-        # Et: parent coords -> joint(child zero-pose) coords = R_offset^T
         joint_Et = arr(lambda b: _quat_to_mat_np(b.joint_quat).T, (3, 3))
         body_mass = arr(lambda b: b.mass)
         body_com = arr(lambda b: b.com, (3,))
         body_inertia = arr(lambda b: b.inertia, (3, 3))
 
-        jb = bodies[1:]
+        jb = [b for b in bodies if b.parent != -1]
+        jq_idx = np.array(
+            [q_adr[i] for i, b in enumerate(bodies) if b.parent != -1],
+            dtype=np.int32,
+        )
+        jv_idx = np.array(
+            [v_adr[i] for i, b in enumerate(bodies) if b.parent != -1],
+            dtype=np.int32,
+        )
+
         default_q = np.zeros(nq)
-        if root_free:
-            default_q[:7] = (
-                self._root_default_q
-                if self._root_default_q is not None
-                else np.array([0, 0, 0, 1, 0, 0, 0], dtype=np.float64)
-            )
-        default_q[jq0:] = [b.default_q for b in jb]
+        for i, b in enumerate(bodies):
+            if b.parent == -1:
+                if b.jtype == JointType.FREE:
+                    pose = (
+                        b.default_pose
+                        if b.default_pose is not None
+                        else np.array([0, 0, 0, 1, 0, 0, 0], dtype=np.float64)
+                    )
+                    default_q[q_adr[i] : q_adr[i] + 7] = pose
+            else:
+                default_q[q_adr[i]] = b.default_q
+
+        # depth levels (non-root bodies)
+        depth = [0] * nb
+        for i, b in enumerate(bodies):
+            depth[i] = 0 if b.parent == -1 else depth[b.parent] + 1
+        max_depth = max(depth) if nb else 0
+        levels = tuple(
+            tuple(i for i in range(nb) if depth[i] == d and bodies[i].parent != -1)
+            for d in range(1, max_depth + 1)
+        )
+        levels = tuple(lvl for lvl in levels if lvl)
 
         cp_body = np.array([c[0] for c in self._cp], dtype=np.int32)
         cp_pos = (
-            np.stack([c[1] for c in self._cp])
-            if self._cp
-            else np.zeros((0, 3))
+            np.stack([c[1] for c in self._cp]) if self._cp else np.zeros((0, 3))
         )
         cp_radius = np.array([c[2] for c in self._cp])
         cp_friction = np.array([c[3] for c in self._cp])
 
+        # cross-tree candidate pairs: every point vs every surface of a
+        # DIFFERENT tree (self-collision off, matching the reference's
+        # enable_self_collisions: False default, sim_config.py:389-392)
+        pair_point: List[int] = []
+        pair_surf: List[int] = []
+        for si, (stype, sbody, sparams) in enumerate(self._surfaces):
+            for pi in range(len(self._cp)):
+                pbody = int(cp_body[pi])
+                if tree_id[pbody] != tree_id[sbody]:
+                    pair_point.append(pi)
+                    pair_surf.append(si)
+
         return Model(
             name=self.name,
-            nb=nb,
-            nq=nq,
-            nv=nv,
-            root_free=root_free,
+            nb=nb, nq=nq, nv=nv, njd=njd,
             parents=tuple(b.parent for b in bodies),
             jtype=tuple(int(b.jtype) for b in bodies),
+            q_adr=tuple(q_adr), v_adr=tuple(v_adr), jdof=tuple(jdof),
+            tree_id=tuple(tree_id), roots=tuple(roots), levels=levels,
             body_names=tuple(b.name for b in bodies),
-            dof_names=tuple(b.name for b in jb),
+            dof_names=tuple(dof_names),
             joint_axis=jnp.asarray(joint_axis, dtype),
             joint_pos=jnp.asarray(joint_pos, dtype),
             joint_Et=jnp.asarray(joint_Et, dtype),
             body_mass=jnp.asarray(body_mass, dtype),
             body_com=jnp.asarray(body_com, dtype),
             body_inertia=jnp.asarray(body_inertia, dtype),
+            jq_idx=jnp.asarray(jq_idx),
+            jv_idx=jnp.asarray(jv_idx),
             dof_limit_lower=jnp.asarray([b.limit[0] for b in jb], dtype),
             dof_limit_upper=jnp.asarray([b.limit[1] for b in jb], dtype),
             dof_armature=jnp.asarray([b.armature for b in jb], dtype),
@@ -322,6 +435,11 @@ class ModelBuilder:
             cp_pos=jnp.asarray(cp_pos, dtype),
             cp_radius=jnp.asarray(cp_radius, dtype),
             cp_friction=jnp.asarray(cp_friction, dtype),
+            surf_type=tuple(s[0] for s in self._surfaces),
+            surf_body=tuple(s[1] for s in self._surfaces),
+            surf_params=tuple(s[2] for s in self._surfaces),
+            pair_point=jnp.asarray(np.asarray(pair_point, dtype=np.int32)),
+            pair_surf=tuple(pair_surf),
             sensor_body=tuple(self._sensors),
             default_q=jnp.asarray(default_q, dtype),
         )
