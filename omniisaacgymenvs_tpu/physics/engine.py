@@ -114,18 +114,21 @@ class PhysicsEngine:
         cres = plane_contacts(
             m, pw, Rw, avel, lvel, self.contact_params, self.height_fn
         )
-        f_ext = cres.f_ext + f_applied
+        f_contact = cres.f_ext
         if self._has_pairs:
-            f_ext = f_ext + pair_contacts(
+            f_contact = f_contact + pair_contacts(
                 m, self.pair_groups, pw, Rw, avel, lvel, self.contact_params
             )
+        f_ext = f_contact + f_applied
         tau = dynamics.drive_torques(m, q, qd, control, h)
         qdd = dynamics.aba(m, q, qd, tau, f_ext, kin, self._gravity, h)
         q, qd = dynamics.integrate(m, q, qd, qdd, h)
         if m.num_sensors:
             sb = jnp.asarray(m.sensor_body)
+            # wrench = all contact forces (ground + pairwise) on the body,
+            # [force(3), torque(3)] world (reference get_force_sensor_forces)
             sensor_forces = jnp.concatenate(
-                [cres.body_force[sb], cres.body_torque[sb]], axis=-1
+                [f_contact[sb, 3:6], f_contact[sb, 0:3]], axis=-1
             )
         else:
             sensor_forces = jnp.zeros((0, 6))

@@ -14,6 +14,7 @@ def _registry():
         "Cartpole": CartpoleTask,
     }
     from omniisaacgymenvs_tpu.tasks.ant import AntLocomotionTask
+    from omniisaacgymenvs_tpu.tasks.ball_balance import BallBalanceTask
     from omniisaacgymenvs_tpu.tasks.anymal import AnymalTask
     from omniisaacgymenvs_tpu.tasks.crazyflie import CrazyflieTask
     from omniisaacgymenvs_tpu.tasks.humanoid import HumanoidLocomotionTask
@@ -21,6 +22,7 @@ def _registry():
     from omniisaacgymenvs_tpu.tasks.quadcopter import QuadcopterTask
 
     task_map["Ant"] = AntLocomotionTask
+    task_map["BallBalance"] = BallBalanceTask
     task_map["Humanoid"] = HumanoidLocomotionTask
     task_map["Anymal"] = AnymalTask
     task_map["Ingenuity"] = IngenuityTask
