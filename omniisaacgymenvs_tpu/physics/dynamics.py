@@ -168,7 +168,10 @@ def aba(
     """
     nb = model.nb
     tr = _tree(model)
-    d_implicit = h * (model.dof_drive_damping + model.dof_damping)
+    d_implicit = h * (
+        model.dof_drive_damping + model.dof_damping
+        + h * model.dof_stiffness
+    )
 
     # ---- batched articulated quantities ----
     IA = spatial.spatial_inertia(

@@ -66,6 +66,9 @@ class PhysicsEngine:
         )
         self.pair_groups = build_pair_groups(model)
         self._has_pairs = len(model.pair_surf) > 0
+        import numpy as _np
+
+        self._has_gravity_comp = bool(_np.any(_np.asarray(model.gravity_comp)))
 
     # ------------------------------------------------------------------
     def default_control(self) -> Control:
@@ -120,6 +123,13 @@ class PhysicsEngine:
                 m, self.pair_groups, pw, Rw, avel, lvel, self.contact_params
             )
         f_ext = f_contact + f_applied
+        if self._has_gravity_comp:
+            # counter-gravity at each compensated body's CoM (reference
+            # shadow_hand.py set_shadow_hand_properties DisableGravity)
+            fg = -(m.gravity_comp * m.body_mass)[:, None] * self._gravity
+            com_w = pw + jnp.einsum("kij,kj->ki", Rw, m.body_com)
+            ng = jnp.cross(com_w - pw, fg)
+            f_ext = f_ext + jnp.concatenate([ng, fg], axis=-1)
         tau = dynamics.drive_torques(m, q, qd, control, h)
         qdd = dynamics.aba(m, q, qd, tau, f_ext, kin, self._gravity, h)
         q, qd = dynamics.integrate(m, q, qd, qdd, h)

@@ -100,6 +100,8 @@ class Model:
     # precomputed cross-tree (point, surface) candidate pairs
     pair_point: jnp.ndarray      # (npair,) int32 index into cp_*
     pair_surf: Tuple[int, ...]   # (npair,) surface index (static)
+    # gravity compensation mask (reference shadow_hand.py DisableGravity)
+    gravity_comp: jnp.ndarray    # (nb,) 1.0 = body feels no gravity
     # --- force sensors: aggregate contact wrench per sensor body ---
     sensor_body: Tuple[int, ...]
     # --- default pose ---
@@ -166,6 +168,7 @@ class _BodySpec:
     max_velocity: float
     default_q: float
     default_pose: Optional[np.ndarray]  # roots: 7-vector [pos, quat]
+    gravity_comp: bool
 
 
 def _quat_to_mat_np(q: np.ndarray) -> np.ndarray:
@@ -212,6 +215,7 @@ class ModelBuilder:
         default_q: float = 0.0,
         default_pos: Sequence[float] = (0.0, 0.0, 0.0),
         default_quat: Sequence[float] = (1.0, 0.0, 0.0, 0.0),
+        gravity_comp: bool = False,
     ) -> int:
         """Add a body. parent=-1 adds a new root (FREE or FIXED); otherwise
         a 1-dof joint (REVOLUTE/PRISMATIC) connects to `parent`. Returns the
@@ -245,7 +249,7 @@ class ModelBuilder:
                 damping=damping, friction=friction, stiffness=stiffness,
                 drive_damping=drive_damping, max_effort=max_effort,
                 max_velocity=max_velocity, default_q=default_q,
-                default_pose=default_pose,
+                default_pose=default_pose, gravity_comp=gravity_comp,
             )
         )
         return idx
@@ -440,6 +444,9 @@ class ModelBuilder:
             surf_params=tuple(s[2] for s in self._surfaces),
             pair_point=jnp.asarray(np.asarray(pair_point, dtype=np.int32)),
             pair_surf=tuple(pair_surf),
+            gravity_comp=jnp.asarray(
+                [1.0 if b.gravity_comp else 0.0 for b in bodies], dtype
+            ),
             sensor_body=tuple(self._sensors),
             default_q=jnp.asarray(default_q, dtype),
         )

@@ -17,6 +17,9 @@ def _registry():
     from omniisaacgymenvs_tpu.tasks.ball_balance import BallBalanceTask
     from omniisaacgymenvs_tpu.tasks.anymal import AnymalTask
     from omniisaacgymenvs_tpu.tasks.crazyflie import CrazyflieTask
+    from omniisaacgymenvs_tpu.tasks.allegro_hand import AllegroHandTask
+    from omniisaacgymenvs_tpu.tasks.franka_cabinet import FrankaCabinetTask
+    from omniisaacgymenvs_tpu.tasks.shadow_hand import ShadowHandTask
     from omniisaacgymenvs_tpu.tasks.humanoid import HumanoidLocomotionTask
     from omniisaacgymenvs_tpu.tasks.ingenuity import IngenuityTask
     from omniisaacgymenvs_tpu.tasks.quadcopter import QuadcopterTask
@@ -28,6 +31,23 @@ def _registry():
     task_map["Ingenuity"] = IngenuityTask
     task_map["Quadcopter"] = QuadcopterTask
     task_map["Crazyflie"] = CrazyflieTask
+    task_map["FrankaCabinet"] = FrankaCabinetTask
+    task_map["AllegroHand"] = AllegroHandTask
+    task_map["ShadowHand"] = ShadowHandTask
+
+    def _openai_variant(cfg, lstm=False):
+        # reference cfg/task/ShadowHandOpenAI_FF.yaml: openai obs + asym
+        # states (utils/task_util.py:57-59 maps both variants to the same
+        # class; the LSTM difference lives in the train config)
+        cfg = dict(cfg or {})
+        env = dict(cfg.get("env", {}))
+        env.setdefault("observationType", "openai")
+        env.setdefault("asymmetric_observations", True)
+        cfg["env"] = env
+        return ShadowHandTask(cfg)
+
+    task_map["ShadowHandOpenAI_FF"] = _openai_variant
+    task_map["ShadowHandOpenAI_LSTM"] = lambda cfg: _openai_variant(cfg, True)
     return task_map
 
 

@@ -1,0 +1,72 @@
+"""In-hand manipulation task tests (ShadowHand / AllegroHand)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omniisaacgymenvs_tpu.envs import VecEnv
+from omniisaacgymenvs_tpu.tasks import get_task
+
+
+@pytest.mark.parametrize(
+    "name,num_obs,num_states,num_act",
+    [
+        ("ShadowHand", 157, 0, 20),
+        ("AllegroHand", 72, 0, 16),
+        ("ShadowHandOpenAI_FF", 42, 187, 20),
+    ],
+)
+def test_dims(name, num_obs, num_states, num_act):
+    task = get_task(name)
+    env = VecEnv(task, 2)
+    es = env.reset(seed=0)
+    assert es.obs.shape == (2, num_obs)
+    assert es.states.shape == (2, num_states)
+    assert task.num_actions == num_act
+
+
+def test_object_rests_on_palm():
+    """Zero actions: the cube must sit on the palm (pair contacts), not
+    fall through it."""
+    env = VecEnv(get_task("ShadowHand"), 4)
+    es = env.reset(seed=0)
+    for _ in range(60):
+        es = env.step(es, jnp.zeros((4, 20)))
+    qa = env.task._obj_q
+    z = np.asarray(es.phys.q[:, qa + 2])
+    assert np.all(z > 0.40), z  # palm top ~0.50; edge-wedged blocks sag
+    assert np.all(np.isfinite(np.asarray(es.obs)))
+
+
+def test_success_goal_reset():
+    """Forcing object rotation near the goal triggers success counting and
+    a goal-only reset (not an env reset)."""
+    task = get_task("ShadowHand")
+    env = VecEnv(task, 2)
+    es = env.reset(seed=0)
+    # snap object orientation to the goal
+    qa = task._obj_q
+    goal_rot = es.carry["goal_rot"]
+    q = es.phys.q
+    q = q.at[:, qa + 3 : qa + 7].set(goal_rot)
+    es = es.replace(phys=es.phys.replace(q=q))
+    es = env.step(es, jnp.zeros((2, 20)))
+    assert np.all(np.asarray(es.carry["successes"]) >= 1)
+    assert np.all(np.asarray(es.reward) > 100.0)  # reach-goal bonus 250
+    assert not np.any(np.asarray(es.done))
+    # next step re-randomizes the goal away from the object
+    goal_before = np.asarray(es.carry["goal_rot"])
+    es = env.step(es, jnp.zeros((2, 20)))
+    assert not np.allclose(np.asarray(es.carry["goal_rot"]), goal_before)
+
+
+def test_fall_terminates():
+    task = get_task("ShadowHand")
+    env = VecEnv(task, 2)
+    es = env.reset(seed=0)
+    qa = task._obj_q
+    q = es.phys.q.at[:, qa + 2].set(0.1)  # teleport object far below
+    es = es.replace(phys=es.phys.replace(q=q))
+    es = env.step(es, jnp.zeros((2, 20)))
+    assert np.all(np.asarray(es.done))
