@@ -16,6 +16,7 @@ def _registry():
     from omniisaacgymenvs_tpu.tasks.ant import AntLocomotionTask
     from omniisaacgymenvs_tpu.tasks.ball_balance import BallBalanceTask
     from omniisaacgymenvs_tpu.tasks.anymal import AnymalTask
+    from omniisaacgymenvs_tpu.tasks.anymal_terrain import AnymalTerrainTask
     from omniisaacgymenvs_tpu.tasks.crazyflie import CrazyflieTask
     from omniisaacgymenvs_tpu.tasks.allegro_hand import AllegroHandTask
     from omniisaacgymenvs_tpu.tasks.franka_cabinet import FrankaCabinetTask
@@ -28,6 +29,7 @@ def _registry():
     task_map["BallBalance"] = BallBalanceTask
     task_map["Humanoid"] = HumanoidLocomotionTask
     task_map["Anymal"] = AnymalTask
+    task_map["AnymalTerrain"] = AnymalTerrainTask
     task_map["Ingenuity"] = IngenuityTask
     task_map["Quadcopter"] = QuadcopterTask
     task_map["Crazyflie"] = CrazyflieTask

@@ -1,0 +1,439 @@
+"""ANYmal rough-terrain locomotion with curriculum.
+
+Reference: tasks/anymal_terrain.py — 188-dim obs [base_lin_vel*2,
+base_ang_vel*0.25, projected_gravity, commands*scale(3), dof_pos, dof_vel
+*0.05, 140 height measurements, last actions] with additive uniform
+observation noise (:158-182, :421-432); explicit in-loop PD torque control
+tau = clip(Kp(0.5a + q_def - q) - Kd qd, +-80) at decimation 4 x dt 0.005
+(:309-316); procedural terrain curriculum with per-env level/type and
+origin update on reset (:203-209, :289-298); random base pushes every 15 s
+(:355-357); termination on base/knee proximity to ground (:359-367);
+per-term episode reward sums exposed via extras (:282-287, :409-419).
+This task overrides the step pipeline entirely (like the reference
+overriding post_physics_step :318-353).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniisaacgymenvs_tpu.models.anymal import build_anymal
+from omniisaacgymenvs_tpu.physics import rotations as rot
+from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
+from omniisaacgymenvs_tpu.utils.terrain import Terrain
+
+_REW_KEYS = (
+    "lin_vel_xy", "lin_vel_z", "ang_vel_z", "ang_vel_xy", "orient",
+    "torques", "joint_acc", "base_height", "action_rate", "hip",
+)
+
+
+def _wrap_to_pi(x):
+    return jnp.arctan2(jnp.sin(x), jnp.cos(x))
+
+
+class AnymalTerrainTask(RLTask):
+    name = "AnymalTerrain"
+    num_obs = 188
+    num_states = 0
+    num_actions = 12
+    num_height_points = 140
+
+    def __init__(self, cfg: dict | None = None):
+        cfg = cfg or {}
+        env_cfg = cfg.get("env", {})
+        learn = env_cfg.get("learn", {})
+        control = env_cfg.get("control", {})
+        ranges = env_cfg.get("randomCommandVelocityRanges", {})
+        terrain_cfg = env_cfg.get("terrain", {})
+        sim_cfg = cfg.get("sim", {})
+
+        self.lin_vel_scale = learn.get("linearVelocityScale", 2.0)
+        self.ang_vel_scale = learn.get("angularVelocityScale", 0.25)
+        self.dof_pos_scale = learn.get("dofPositionScale", 1.0)
+        self.dof_vel_scale = learn.get("dofVelocityScale", 0.05)
+        self.height_meas_scale = learn.get("heightMeasurementScale", 5.0)
+        self.action_scale = control.get("actionScale", 0.5)
+        self.Kp = control.get("stiffness", 80.0)
+        self.Kd = control.get("damping", 2.0)
+        self.decimation = control.get("decimation", 4)
+        self.sim_dt = sim_cfg.get("dt", 0.005)
+        self.dt = self.decimation * self.sim_dt
+        self.max_episode_length_s = learn.get("episodeLength_s", 20.0)
+        self.max_episode_length = int(self.max_episode_length_s / self.dt + 0.5)
+        self.push_interval = int(learn.get("pushInterval_s", 15.0) / self.dt + 0.5)
+        self.base_threshold = 0.2
+        self.knee_threshold = 0.1
+        self.command_x_range = ranges.get("linear_x", (-1.0, 1.0))
+        self.command_y_range = ranges.get("linear_y", (-1.0, 1.0))
+        self.command_yaw_range = ranges.get("yaw", (-3.14, 3.14))
+        self.clip_obs = env_cfg.get("clipObservations", 5.0)
+        self.clip_actions = env_cfg.get("clipActions", 1.0)
+        self.add_noise = learn.get("addNoise", True)
+        nl = learn.get("noiseLevel", 1.0)
+        self.noise_vec = np.zeros(188, np.float32)
+        self.noise_vec[0:3] = learn.get("linearVelocityNoise", 0.1) * nl * self.lin_vel_scale
+        self.noise_vec[3:6] = learn.get("angularVelocityNoise", 0.2) * nl * self.ang_vel_scale
+        self.noise_vec[6:9] = learn.get("gravityNoise", 0.05) * nl
+        self.noise_vec[12:24] = learn.get("dofPositionNoise", 0.01) * nl * self.dof_pos_scale
+        self.noise_vec[24:36] = learn.get("dofVelocityNoise", 1.5) * nl * self.dof_vel_scale
+        self.noise_vec[36:176] = learn.get("heightMeasurementNoise", 0.06) * nl * self.height_meas_scale
+        self.noise_vec = jnp.asarray(self.noise_vec)
+
+        self.rew_scales = {
+            "termination": learn.get("terminalReward", 0.0),
+            "lin_vel_xy": learn.get("linearVelocityXYRewardScale", 1.0),
+            "lin_vel_z": learn.get("linearVelocityZRewardScale", -4.0),
+            "ang_vel_z": learn.get("angularVelocityZRewardScale", 0.5),
+            "ang_vel_xy": learn.get("angularVelocityXYRewardScale", -0.05),
+            "orient": learn.get("orientationRewardScale", -0.0),
+            "torques": learn.get("torqueRewardScale", -0.00002),
+            "joint_acc": learn.get("jointAccRewardScale", -0.0005),
+            "base_height": learn.get("baseHeightRewardScale", -0.0),
+            "action_rate": learn.get("actionRateRewardScale", -0.01),
+            "hip": learn.get("hipRewardScale", -0.0),
+            "fallen_over": learn.get("fallenOverRewardScale", -1.0),
+        }
+        for k in self.rew_scales:
+            if k != "termination":
+                self.rew_scales[k] *= self.dt
+
+        # ---- terrain ----
+        self.terrain = Terrain(terrain_cfg, seed=terrain_cfg.get("seed", 7))
+        self.curriculum = self.terrain.curriculum
+        self.max_init_level = (
+            terrain_cfg.get("maxInitMapLevel", 0)
+            if self.curriculum else self.terrain.env_rows - 1
+        )
+        self._hf = (
+            jnp.asarray(self.terrain.height_field_raw, jnp.float32)
+            * self.terrain.vertical_scale
+        )
+        self._hs = self.terrain.horizontal_scale
+        self._border = self.terrain.border_size
+        self._origins = jnp.asarray(self.terrain.env_origins, jnp.float32)
+
+        self.model = build_anymal(spawn_height=0.62)
+        self.engine = PhysicsEngine(
+            self.model,
+            SimParams(
+                dt=self.sim_dt,
+                substeps=sim_cfg.get("substeps", 1),
+                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            ),
+            height_fn=self._height_fn,
+        )
+        self.default_dof_pos = self.model.default_q[self.model.jq0:]
+        self._knee_bodies = jnp.asarray(
+            [self.model.body_index(f"{l}_KFE") for l in ("LF", "LH", "RF", "RH")]
+        )
+        # 14x10 height-scan grid (reference init_height_points :172-182)
+        y = 0.1 * np.array([-5, -4, -3, -2, -1, 1, 2, 3, 4, 5])
+        x = 0.1 * np.array([-8, -7, -6, -5, -4, -3, -2, 2, 3, 4, 5, 6, 7, 8])
+        gx, gy = np.meshgrid(x, y, indexing="ij")
+        self._height_points = jnp.asarray(
+            np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], -1),
+            jnp.float32,
+        )
+
+    # ------------------------------------------------------------------
+    def _sample_height(self, x, y):
+        """Min-of-two-samples heightfield lookup (reference get_heights,
+        tasks/anymal_terrain.py:462-480)."""
+        px = jnp.clip(
+            ((x + self._border) / self._hs).astype(jnp.int32),
+            0, self._hf.shape[0] - 2,
+        )
+        py = jnp.clip(
+            ((y + self._border) / self._hs).astype(jnp.int32),
+            0, self._hf.shape[1] - 2,
+        )
+        return jnp.minimum(self._hf[px, py], self._hf[px + 1, py + 1])
+
+    def _height_fn(self, x, y):
+        """Contact height + normal for the engine."""
+        h = self._sample_height(x, y)
+        hx = self._sample_height(x + self._hs, y)
+        hy = self._sample_height(x, y + self._hs)
+        n = jnp.stack(
+            [-(hx - h) / self._hs, -(hy - h) / self._hs, jnp.ones_like(h)],
+            axis=-1,
+        )
+        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+        return h, n
+
+    # ------------------------------------------------------------------
+    def initial_carry(self):
+        return dict(
+            commands=jnp.zeros(4),        # x, y, yaw_rate (computed), yaw_target
+            last_actions=jnp.zeros(12),
+            last_dof_vel=jnp.zeros(12),
+            torques=jnp.zeros(12),
+            level=jnp.zeros((), jnp.int32),
+            ttype=jnp.zeros((), jnp.int32),
+            origin=jnp.zeros(3),
+            episode_sums={k: jnp.zeros(()) for k in _REW_KEYS},
+        )
+
+    def initial_metrics(self):
+        m = {"episode/rew_" + k: jnp.zeros(()) for k in _REW_KEYS}
+        m["episode/terrain_level"] = jnp.zeros(())
+        return m
+
+    def _sample_commands(self, rng):
+        kx, ky, kw = jax.random.split(rng, 3)
+        cx = jax.random.uniform(kx, minval=self.command_x_range[0],
+                                maxval=self.command_x_range[1])
+        cy = jax.random.uniform(ky, minval=self.command_y_range[0],
+                                maxval=self.command_y_range[1])
+        cyaw = jax.random.uniform(kw, minval=self.command_yaw_range[0],
+                                  maxval=self.command_yaw_range[1])
+        keep = jnp.linalg.norm(jnp.stack([cx, cy])) > 0.25
+        return jnp.stack([cx * keep, cy * keep, 0.0, cyaw])
+
+    def _reset_at(self, rng, level, ttype):
+        m = self.model
+        k1, k2 = jax.random.split(rng)
+        origin = self._origins[level, ttype]
+        offset = jax.random.uniform(k1, (2,), minval=-0.5, maxval=0.5)
+        q = m.default_q
+        q = q.at[0:2].set(origin[0:2] + offset)
+        q = q.at[2].set(origin[2] + 0.62)
+        qd = jnp.zeros(m.nv)
+        carry = self.initial_carry()
+        carry["commands"] = self._sample_commands(k2)
+        carry["level"] = level
+        carry["ttype"] = ttype
+        carry["origin"] = origin
+        return q, qd, carry
+
+    def reset(self, rng):
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        level = jax.random.randint(k1, (), 0, self.max_init_level + 1)
+        ttype = jax.random.randint(k2, (), 0, self.terrain.env_cols)
+        q, qd, carry = self._reset_at(k3, level, ttype)
+        phys = self.engine.init_state(q, qd)
+        obs, states, carry = self.observe(phys, carry, jnp.zeros(12))
+        return EnvState(
+            phys=phys, carry=carry, obs=obs, states=states,
+            reward=jnp.zeros(()), done=jnp.zeros((), bool),
+            timeout=jnp.zeros((), bool),
+            progress=jnp.zeros((), jnp.int32), rng=rng,
+            metrics=self.initial_metrics(),
+        )
+
+    # ------------------------------------------------------------------
+    def physics_steps_pd(self, phys, action, carry):
+        """decimation x [explicit PD torque + sim step] (reference
+        pre_physics_step :309-316)."""
+        eng = self.engine
+        m = self.model
+        h = self.sim_dt / eng.params.substeps
+        targets = self.action_scale * action + self.default_dof_pos
+
+        def body(c, _):
+            q, qd, _sf, _tau = c
+            qj = q[m.jq_idx]
+            qjd = qd[m.jv_idx]
+            tau = jnp.clip(
+                self.Kp * (targets - qj) - self.Kd * qjd, -80.0, 80.0
+            )
+            ctrl = eng.default_control().replace(effort=tau)
+            q, qd, sf = eng._substep(q, qd, ctrl, jnp.zeros((m.nb, 6)), h)
+            return (q, qd, sf, tau), None
+
+        init = (phys.q, phys.qd, jnp.zeros((m.num_sensors, 6)), jnp.zeros(12))
+        (q, qd, sf, tau), _ = jax.lax.scan(
+            body, init, None, length=self.decimation * eng.params.substeps
+        )
+        return eng._report(q, qd, sf), tau
+
+    def step(self, es: EnvState, action):
+        rng, k_reset, k_push, k_noise = jax.random.split(es.rng, 4)
+        es = es.replace(rng=rng, carry=dict(es.carry))
+        carry = es.carry
+
+        # ---- curriculum + fused reset (reference update_terrain_level) ----
+        base_xy = es.phys.q[0:2]
+        distance = jnp.linalg.norm(base_xy - carry["origin"][0:2])
+        cmd_norm = jnp.linalg.norm(carry["commands"][0:2])
+        level = carry["level"]
+        if self.curriculum:
+            level = level - (
+                distance < cmd_norm * self.max_episode_length_s * 0.25
+            ).astype(jnp.int32)
+            level = level + (distance > self.terrain.env_length / 2).astype(
+                jnp.int32
+            )
+            level = jnp.clip(level, 0) % self.terrain.env_rows
+        fq, fqd, fcarry = self._reset_at(k_reset, level, carry["ttype"])
+        fphys = self.engine.init_state(fq, fqd)
+        fobs, _, fcarry = self.observe(fphys, fcarry, jnp.zeros(12))
+        fresh = EnvState(
+            phys=fphys, carry=fcarry, obs=fobs, states=jnp.zeros(0),
+            reward=jnp.zeros(()), done=jnp.zeros((), bool),
+            timeout=jnp.zeros((), bool),
+            progress=jnp.zeros((), jnp.int32),
+            rng=jax.random.fold_in(k_reset, 99),
+            metrics=self.initial_metrics(),
+        )
+        es = jax.tree.map(
+            lambda new, old: jnp.where(
+                jnp.reshape(es.done, (1,) * new.ndim), new, old
+            )
+            if new.ndim > 0
+            else jnp.where(es.done, new, old),
+            fresh,
+            es,
+        )
+        carry = es.carry
+
+        # ---- random pushes every push_interval (reference :355-357) ----
+        push = (es.progress % self.push_interval) == (self.push_interval - 1)
+        quat = es.phys.q[3:7]
+        v_world = rot.quat_rotate(quat, es.phys.qd[3:6])
+        push_v = jax.random.uniform(k_push, (2,), minval=-1.0, maxval=1.0)
+        v_world = v_world.at[0:2].set(
+            jnp.where(push, push_v, v_world[0:2])
+        )
+        qd = es.phys.qd.at[3:6].set(rot.quat_rotate_inverse(quat, v_world))
+        es = es.replace(phys=es.phys.replace(qd=qd))
+
+        # ---- action + physics ----
+        action = jnp.clip(action, -self.clip_actions, self.clip_actions)
+        phys, torques = self.physics_steps_pd(es.phys, action, carry)
+        carry["torques"] = torques
+        progress = es.progress + 1
+
+        # heading-based yaw command (reference :334-336)
+        quat = phys.q[3:7]
+        forward = rot.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
+        heading = jnp.arctan2(forward[1], forward[0])
+        cmds = carry["commands"]
+        cmds = cmds.at[2].set(
+            jnp.clip(0.5 * _wrap_to_pi(cmds[3] - heading), -1.0, 1.0)
+        )
+        carry["commands"] = cmds
+
+        obs, states, carry = self.observe(phys, carry, action)
+        reward, done, carry, metrics = self.reward_done(
+            obs, action, phys, carry, progress
+        )
+        if self.add_noise:
+            noise = (
+                2.0 * jax.random.uniform(k_noise, (188,)) - 1.0
+            ) * self.noise_vec
+            obs = obs + noise
+        finite = jnp.isfinite(jnp.sum(phys.q) + jnp.sum(phys.qd) + reward)
+        done = done | ~finite
+        reward = jnp.where(finite, reward, 0.0)
+        obs = jnp.nan_to_num(
+            jnp.clip(obs, -self.clip_obs, self.clip_obs),
+            posinf=1e6, neginf=-1e6,
+        )
+        return es.replace(
+            phys=phys, carry=carry, obs=obs, states=states, reward=reward,
+            done=done,
+            timeout=jnp.asarray(progress >= self.max_episode_length - 1),
+            progress=progress, metrics=metrics,
+        )
+
+    # ------------------------------------------------------------------
+    def observe(self, phys, carry, action):
+        m = self.model
+        quat = phys.q[3:7]
+        base_lin_vel = rot.quat_rotate_inverse(quat, phys.body_lvel[0])
+        base_ang_vel = rot.quat_rotate_inverse(quat, phys.body_avel[0])
+        projected_gravity = rot.quat_rotate_inverse(
+            quat, jnp.array([0.0, 0.0, -1.0])
+        )
+        dof_pos = phys.q[m.jq_idx]
+        dof_vel = phys.qd[m.jv_idx]
+        # yaw-only rotation of the scan grid (reference quat_apply_yaw)
+        qy = quat * jnp.array([1.0, 0.0, 0.0, 1.0])
+        qy = rot.quat_normalize(qy)
+        pts = rot.quat_rotate(
+            jnp.broadcast_to(qy, (self.num_height_points, 4)),
+            self._height_points,
+        ) + phys.q[0:3]
+        measured = self._sample_height(pts[:, 0], pts[:, 1])
+        heights = (
+            jnp.clip(phys.q[2] - 0.5 - measured, -1.0, 1.0)
+            * self.height_meas_scale
+        )
+        cmd_scale = jnp.array(
+            [self.lin_vel_scale, self.lin_vel_scale, self.ang_vel_scale]
+        )
+        obs = jnp.concatenate(
+            [
+                base_lin_vel * self.lin_vel_scale,
+                base_ang_vel * self.ang_vel_scale,
+                projected_gravity,
+                carry["commands"][0:3] * cmd_scale,
+                dof_pos * self.dof_pos_scale,
+                dof_vel * self.dof_vel_scale,
+                heights,
+                action,
+            ]
+        )
+        return obs, jnp.zeros(0), carry
+
+    def reward_done(self, obs, action, phys, carry, progress):
+        m = self.model
+        quat = phys.q[3:7]
+        base_lin_vel = rot.quat_rotate_inverse(quat, phys.body_lvel[0])
+        base_ang_vel = rot.quat_rotate_inverse(quat, phys.body_avel[0])
+        projected_gravity = rot.quat_rotate_inverse(
+            quat, jnp.array([0.0, 0.0, -1.0])
+        )
+        dof_pos = phys.q[m.jq_idx]
+        dof_vel = phys.qd[m.jv_idx]
+        cmds = carry["commands"]
+
+        # termination (reference check_termination :359-367)
+        ground_base = self._sample_height(phys.q[0], phys.q[1])
+        base_fallen = (phys.q[2] - ground_base) < self.base_threshold
+        knee_pos = phys.body_pos[self._knee_bodies]
+        ground_knee = self._sample_height(knee_pos[:, 0], knee_pos[:, 1])
+        knees_fallen = jnp.any(
+            (knee_pos[:, 2] - ground_knee) < self.knee_threshold
+        )
+        has_fallen = base_fallen | knees_fallen
+        timeout = progress >= self.max_episode_length - 1
+        done = has_fallen | timeout
+
+        rs = self.rew_scales
+        lin_vel_error = jnp.sum(jnp.square(cmds[0:2] - base_lin_vel[0:2]))
+        ang_vel_error = jnp.square(cmds[2] - base_ang_vel[2])
+        terms = {
+            "lin_vel_xy": jnp.exp(-lin_vel_error / 0.25) * rs["lin_vel_xy"],
+            "ang_vel_z": jnp.exp(-ang_vel_error / 0.25) * rs["ang_vel_z"],
+            "lin_vel_z": jnp.square(base_lin_vel[2]) * rs["lin_vel_z"],
+            "ang_vel_xy": jnp.sum(jnp.square(base_ang_vel[0:2])) * rs["ang_vel_xy"],
+            "orient": jnp.sum(jnp.square(projected_gravity[0:2])) * rs["orient"],
+            "base_height": jnp.square(phys.q[2] - 0.52) * rs["base_height"],
+            "torques": jnp.sum(jnp.square(carry["torques"])) * rs["torques"],
+            "joint_acc": jnp.sum(jnp.square(carry["last_dof_vel"] - dof_vel)) * rs["joint_acc"],
+            "action_rate": jnp.sum(jnp.square(carry["last_actions"] - action)) * rs["action_rate"],
+            "hip": jnp.sum(jnp.abs(dof_pos[0:4] - self.default_dof_pos[0:4])) * rs["hip"],
+        }
+        reward = jnp.clip(sum(terms.values()), 0.0, None)
+        reward = reward + has_fallen * rs["fallen_over"] * self.dt
+        reward = reward + rs["termination"] * (done & ~timeout)
+
+        sums = {
+            k: carry["episode_sums"][k] + terms[k] for k in _REW_KEYS
+        }
+        carry = dict(
+            carry, last_actions=action, last_dof_vel=dof_vel,
+            episode_sums=sums,
+        )
+        metrics = {
+            "episode/rew_" + k: sums[k] / self.max_episode_length_s
+            for k in _REW_KEYS
+        }
+        metrics["episode/terrain_level"] = carry["level"].astype(jnp.float32)
+        return reward, done, carry, metrics
