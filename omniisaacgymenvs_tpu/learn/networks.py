@@ -68,6 +68,46 @@ class CentralValue(nn.Module):
         return nn.Dense(1)(x)[..., 0]
 
 
+class LSTMActorCritic(nn.Module):
+    """LSTM-before-MLP actor-critic (rl_games rnn config: units 1024,
+    layer_norm, before-mlp — reference cfg/train/ShadowHandOpenAI_LSTMPPO
+    .yaml:32-37). Carries (h, c) per env; call with obs (..., num_obs) and
+    hidden ((..., units), (..., units))."""
+
+    num_actions: int
+    lstm_units: int = 1024
+    units: Sequence[int] = (512, 512, 256, 128)
+    activation: str = "elu"
+    sigma_init: float = 0.0
+    layer_norm: bool = True
+
+    @nn.compact
+    def __call__(self, obs, hidden):
+        act = _ACTS[self.activation]
+        h, c = hidden
+        (c2, h2), out = nn.OptimizedLSTMCell(self.lstm_units, name="lstm")(
+            (c, h), obs
+        )
+        x = out
+        if self.layer_norm:
+            x = nn.LayerNorm()(x)
+        for u in self.units:
+            x = act(nn.Dense(u)(x))
+        mu = nn.Dense(
+            self.num_actions,
+            kernel_init=nn.initializers.variance_scaling(
+                0.01, "fan_in", "truncated_normal"
+            ),
+        )(x)
+        log_std = self.param(
+            "log_std",
+            nn.initializers.constant(self.sigma_init),
+            (self.num_actions,),
+        )
+        value = nn.Dense(1)(x)[..., 0]
+        return mu, log_std, value, (h2, c2)
+
+
 def gaussian_logprob(mu, log_std, action):
     """Diagonal Gaussian log pi(a|s)."""
     var = jnp.exp(2.0 * log_std)

@@ -28,6 +28,8 @@ import optax
 from omniisaacgymenvs_tpu.envs.vec_env import VecEnv
 from omniisaacgymenvs_tpu.learn.networks import (
     ActorCritic,
+    CentralValue,
+    LSTMActorCritic,
     gaussian_entropy,
     gaussian_kl,
     gaussian_logprob,
@@ -63,6 +65,14 @@ class PPOConfig:
     activation: str = "elu"
     lr_min: float = 1e-6
     lr_max: float = 1e-2
+    # asymmetric actor-critic: separate critic on privileged states
+    # (rl_games central_value_config, cfg/train/ShadowHandOpenAI_FFPPO.yaml)
+    central_value: bool = False
+    cv_units: Sequence[int] = (512, 512, 256, 128)
+    # recurrent policy (rl_games rnn block, ShadowHandOpenAI_LSTMPPO.yaml)
+    rnn: Optional[str] = None      # None | "lstm"
+    rnn_units: int = 1024
+    seq_len: int = 4
 
 
 @flax.struct.dataclass
@@ -72,8 +82,10 @@ class TrainState:
     lr: jax.Array
     obs_norm: RunningNorm
     value_norm: RunningNorm
+    states_norm: RunningNorm   # for the central-value critic input
     es: Any                  # batched EnvState
     rng: jax.Array
+    hidden: Any              # RNN carry ((N,u),(N,u)) or ()
     ep_ret: jax.Array        # (N,) running episode reward (raw)
     ep_len: jax.Array        # (N,)
     epoch: jax.Array
@@ -83,58 +95,96 @@ class PPOTrainer:
     def __init__(self, env: VecEnv, cfg: PPOConfig, seed: int = 42):
         self.env = env
         self.cfg = cfg
-        self.net = ActorCritic(
-            num_actions=env.num_actions,
-            units=tuple(cfg.units),
-            activation=cfg.activation,
+        self.is_rnn = cfg.rnn == "lstm"
+        self.use_cv = cfg.central_value and env.num_states > 0
+        if self.is_rnn:
+            self.net = LSTMActorCritic(
+                num_actions=env.num_actions,
+                lstm_units=cfg.rnn_units,
+                units=tuple(cfg.units),
+                activation=cfg.activation,
+            )
+        else:
+            self.net = ActorCritic(
+                num_actions=env.num_actions,
+                units=tuple(cfg.units),
+                activation=cfg.activation,
+            )
+        self.cv_net = (
+            CentralValue(units=tuple(cfg.cv_units), activation=cfg.activation)
+            if self.use_cv
+            else None
         )
         self.opt = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),
             optax.scale_by_adam(eps=1e-8),
         )
         rng = jax.random.PRNGKey(seed)
-        rng, k_init = jax.random.split(rng)
-        params = self.net.init(k_init, jnp.zeros((1, env.num_obs)))
-        es = env.reset(seed=seed)
+        rng, k_init, k_cv = jax.random.split(rng, 3)
         n = env.num_envs
+        if self.is_rnn:
+            hidden = (
+                jnp.zeros((n, cfg.rnn_units)), jnp.zeros((n, cfg.rnn_units))
+            )
+            ac_params = self.net.init(
+                k_init, jnp.zeros((1, env.num_obs)),
+                (jnp.zeros((1, cfg.rnn_units)), jnp.zeros((1, cfg.rnn_units))),
+            )
+        else:
+            hidden = ()
+            ac_params = self.net.init(k_init, jnp.zeros((1, env.num_obs)))
+        params = {"ac": ac_params}
+        if self.use_cv:
+            params["cv"] = self.cv_net.init(
+                k_cv, jnp.zeros((1, env.num_states))
+            )
+        es = env.reset(seed=seed)
         self.state = TrainState(
             params=params,
             opt_state=self.opt.init(params),
             lr=jnp.asarray(cfg.learning_rate),
             obs_norm=RunningNorm.create((env.num_obs,)),
             value_norm=RunningNorm.create(()),
+            states_norm=RunningNorm.create((env.num_states,)),
             es=es,
             rng=rng,
+            hidden=hidden,
             ep_ret=jnp.zeros(n),
             ep_len=jnp.zeros(n),
             epoch=jnp.zeros((), jnp.int32),
         )
-        batch = cfg.horizon_length * n
-        mb = min(cfg.minibatch_size, batch)
-        if batch % mb:
-            # largest divisor of batch not exceeding the requested size
-            # (rl_games requires exact divisibility; we auto-adjust)
-            mb = next(d for d in range(mb, 0, -1) if batch % d == 0)
-        self.minibatch_size = mb
-        self.num_minibatches = batch // mb
+        if self.is_rnn:
+            assert cfg.horizon_length % cfg.seq_len == 0, (
+                "horizon_length must be divisible by seq_len"
+            )
         self._epoch_jit = jax.jit(self._epoch)
 
     # ------------------------------------------------------------------
-    def _policy(self, params, obs_norm, value_norm, obs):
-        x = obs_norm.normalize(obs) if self.cfg.normalize_input else obs
-        mu, log_std, v = self.net.apply(params, x)
+    def _policy(self, params, ts, obs, states, hidden):
+        x = ts.obs_norm.normalize(obs) if self.cfg.normalize_input else obs
+        if self.is_rnn:
+            mu, log_std, v, hidden = self.net.apply(params["ac"], x, hidden)
+        else:
+            mu, log_std, v = self.net.apply(params["ac"], x)
+        if self.use_cv:
+            sx = (
+                ts.states_norm.normalize(states)
+                if self.cfg.normalize_input
+                else states
+            )
+            v = self.cv_net.apply(params["cv"], sx)
         if self.cfg.normalize_value:
-            v = value_norm.denormalize(v)
-        return mu, log_std, v
+            v = ts.value_norm.denormalize(v)
+        return mu, log_std, v, hidden
 
     def _rollout(self, ts: TrainState):
         cfg = self.cfg
         step_env = jax.vmap(self.env.task.step)
 
         def body(carry, _):
-            es, rng, ep_ret, ep_len, fin_ret, fin_len, fin_cnt = carry
-            mu, log_std, value = self._policy(
-                ts.params, ts.obs_norm, ts.value_norm, es.obs
+            es, rng, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt = carry
+            mu, log_std, value, hidden_post = self._policy(
+                ts.params, ts, es.obs, es.states, hidden
             )
             rng, k = jax.random.split(rng)
             action = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
@@ -145,6 +195,14 @@ class PPOTrainer:
             if cfg.value_bootstrap:
                 # rl_games: rewards += gamma * values * time_outs
                 shaped = shaped + cfg.gamma * value * es2.timeout
+            # reset RNN state for envs that terminated
+            if self.is_rnn:
+                d = es2.done[:, None]
+                hidden_next = tuple(
+                    jnp.where(d, jnp.zeros_like(x), x) for x in hidden_post
+                )
+            else:
+                hidden_next = hidden_post
             # episode stats
             ep_ret = ep_ret + raw_rew
             ep_len = ep_len + 1.0
@@ -156,6 +214,7 @@ class PPOTrainer:
             ep_len = jnp.where(d, 0.0, ep_len)
             out = dict(
                 obs=es.obs,
+                states=es.states,
                 action=action,
                 logp=logp,
                 value=value,
@@ -164,18 +223,26 @@ class PPOTrainer:
                 reward=shaped,
                 done=es2.done,
             )
-            return (es2, rng, ep_ret, ep_len, fin_ret, fin_len, fin_cnt), out
+            if self.is_rnn:
+                out["hidden_h"] = hidden[0]
+                out["hidden_c"] = hidden[1]
+            return (
+                es2, rng, hidden_next, ep_ret, ep_len, fin_ret, fin_len,
+                fin_cnt,
+            ), out
 
         rng, k = jax.random.split(ts.rng)
-        init = (ts.es, k, ts.ep_ret, ts.ep_len, 0.0, 0.0, 0.0)
-        (es, _, ep_ret, ep_len, fin_ret, fin_len, fin_cnt), traj = jax.lax.scan(
-            body, init, None, length=cfg.horizon_length
+        init = (ts.es, k, ts.hidden, ts.ep_ret, ts.ep_len, 0.0, 0.0, 0.0)
+        (es, _, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt), traj = (
+            jax.lax.scan(body, init, None, length=cfg.horizon_length)
         )
         # bootstrap value of the final state
-        _, _, last_value = self._policy(
-            ts.params, ts.obs_norm, ts.value_norm, es.obs
+        _, _, last_value, _ = self._policy(
+            ts.params, ts, es.obs, es.states, hidden
         )
-        ts = ts.replace(es=es, rng=rng, ep_ret=ep_ret, ep_len=ep_len)
+        ts = ts.replace(
+            es=es, rng=rng, hidden=hidden, ep_ret=ep_ret, ep_len=ep_len
+        )
         stats = dict(fin_ret=fin_ret, fin_len=fin_len, fin_cnt=fin_cnt)
         return ts, traj, last_value, stats
 
@@ -199,74 +266,100 @@ class PPOTrainer:
         returns = advs + traj["value"]
         return advs, returns
 
-    def _update(self, ts: TrainState, dataset, advs_mean, advs_std):
-        """mini_epochs x minibatch SGD with adaptive-KL LR ('legacy'
-        schedule: check per update, x/÷1.5 on 2x threshold)."""
+    def _loss(self, params, mb, ts, advs_mean, advs_std):
+        """PPO loss over a minibatch. In RNN mode mb fields have a leading
+        sequence axis (B, seq, ...) plus stored initial hidden (B, units);
+        the LSTM is re-run over the sequence from the stored state."""
         cfg = self.cfg
+        x = (
+            ts.obs_norm.normalize(mb["obs"])
+            if cfg.normalize_input
+            else mb["obs"]
+        )
+        if self.is_rnn:
+            hidden = (mb["hidden_h"], mb["hidden_c"])
 
-        def loss_fn(params, mb, obs_norm, value_norm):
-            x = (
-                obs_norm.normalize(mb["obs"])
+            def cell(hid, xt):
+                mu, log_std, v, hid = self.net.apply(
+                    params["ac"], xt, hid
+                )
+                return hid, (mu, jnp.broadcast_to(log_std, mu.shape), v)
+
+            _, (mu, log_std, v_pred_n) = jax.lax.scan(
+                cell, hidden, jnp.swapaxes(x, 0, 1)
+            )
+            mu = jnp.swapaxes(mu, 0, 1)
+            log_std = jnp.swapaxes(log_std, 0, 1)
+            v_pred_n = jnp.swapaxes(v_pred_n, 0, 1)
+        else:
+            mu, log_std, v_pred_n = self.net.apply(params["ac"], x)
+        if self.use_cv:
+            sx = (
+                ts.states_norm.normalize(mb["states"])
                 if cfg.normalize_input
-                else mb["obs"]
+                else mb["states"]
             )
-            mu, log_std, v_pred_n = self.net.apply(params, x)
-            logp = gaussian_logprob(mu, log_std, mb["action"])
-            ratio = jnp.exp(logp - mb["logp"])
-            adv = mb["adv"]
-            if cfg.normalize_advantage:
-                adv = (adv - advs_mean) / (advs_std + 1e-8)
-            surr1 = adv * ratio
-            surr2 = adv * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
-            actor_loss = -jnp.mean(jnp.minimum(surr1, surr2))
+            v_pred_n = self.cv_net.apply(params["cv"], sx)
 
-            if cfg.normalize_value:
-                target_n = value_norm.normalize(mb["ret"], clip=jnp.inf)
-                v_old_n = value_norm.normalize(mb["value"], clip=jnp.inf)
-            else:
-                target_n = mb["ret"]
-                v_old_n = mb["value"]
-            if cfg.clip_value:
-                v_clipped = v_old_n + jnp.clip(
-                    v_pred_n - v_old_n, -cfg.e_clip, cfg.e_clip
-                )
-                v_loss = jnp.maximum(
-                    (v_pred_n - target_n) ** 2, (v_clipped - target_n) ** 2
-                )
-            else:
-                v_loss = (v_pred_n - target_n) ** 2
-            critic_loss = 0.5 * jnp.mean(v_loss)
+        logp = gaussian_logprob(mu, log_std, mb["action"])
+        ratio = jnp.exp(logp - mb["logp"])
+        adv = mb["adv"]
+        if cfg.normalize_advantage:
+            adv = (adv - advs_mean) / (advs_std + 1e-8)
+        surr1 = adv * ratio
+        surr2 = adv * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
+        actor_loss = -jnp.mean(jnp.minimum(surr1, surr2))
 
-            entropy = jnp.mean(gaussian_entropy(log_std))
-            b_high = jnp.clip(mu - 1.1, 0.0, None) ** 2
-            b_low = jnp.clip(mu + 1.1, None, 0.0) ** 2
-            bounds_loss = jnp.mean(jnp.sum(b_high + b_low, axis=-1))
-
-            total = (
-                actor_loss
-                + cfg.critic_coef * critic_loss
-                - cfg.entropy_coef * entropy
-                + cfg.bounds_loss_coef * bounds_loss
+        if cfg.normalize_value:
+            target_n = ts.value_norm.normalize(mb["ret"], clip=jnp.inf)
+            v_old_n = ts.value_norm.normalize(mb["value"], clip=jnp.inf)
+        else:
+            target_n = mb["ret"]
+            v_old_n = mb["value"]
+        if cfg.clip_value:
+            v_clipped = v_old_n + jnp.clip(
+                v_pred_n - v_old_n, -cfg.e_clip, cfg.e_clip
             )
-            kl = jnp.mean(
-                gaussian_kl(mb["mu"], mb["log_std"], mu, log_std)
+            v_loss = jnp.maximum(
+                (v_pred_n - target_n) ** 2, (v_clipped - target_n) ** 2
             )
-            aux = dict(
-                actor_loss=actor_loss,
-                critic_loss=critic_loss,
-                entropy=entropy,
-                bounds_loss=bounds_loss,
-                kl=kl,
-            )
-            return total, aux
+        else:
+            v_loss = (v_pred_n - target_n) ** 2
+        critic_loss = 0.5 * jnp.mean(v_loss)
 
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        entropy = jnp.mean(gaussian_entropy(log_std))
+        b_high = jnp.clip(mu - 1.1, 0.0, None) ** 2
+        b_low = jnp.clip(mu + 1.1, None, 0.0) ** 2
+        bounds_loss = jnp.mean(jnp.sum(b_high + b_low, axis=-1))
+
+        total = (
+            actor_loss
+            + cfg.critic_coef * critic_loss
+            - cfg.entropy_coef * entropy
+            + cfg.bounds_loss_coef * bounds_loss
+        )
+        kl = jnp.mean(gaussian_kl(mb["mu"], mb["log_std"], mu, log_std))
+        aux = dict(
+            actor_loss=actor_loss,
+            critic_loss=critic_loss,
+            entropy=entropy,
+            bounds_loss=bounds_loss,
+            kl=kl,
+        )
+        return total, aux
+
+    def _update(self, ts: TrainState, dataset, advs_mean, advs_std,
+                num_slices, mb_slices):
+        """mini_epochs x minibatch SGD with adaptive-KL LR ('legacy'
+        schedule: check per update, x/÷1.5 on 2x threshold). `dataset`
+        fields have leading axis num_slices (transitions, or sequences in
+        RNN mode); each minibatch takes mb_slices of them."""
+        cfg = self.cfg
+        grad_fn = jax.value_and_grad(self._loss, has_aux=True)
 
         def mb_update(carry, mb):
             params, opt_state, lr = carry
-            (loss, aux), grads = grad_fn(
-                params, mb, ts.obs_norm, ts.value_norm
-            )
+            (loss, aux), grads = grad_fn(params, mb, ts, advs_mean, advs_std)
             # non-finite-gradient guard: skip the update rather than poison
             # Adam state (a single exploded env would otherwise end training)
             gok = jnp.isfinite(optax.global_norm(grads))
@@ -290,14 +383,15 @@ class PPOTrainer:
             aux["loss"] = loss
             return (params, opt_state, lr), aux
 
+        num_mb = num_slices // mb_slices
+
         def epoch_body(carry, key):
             params, opt_state, lr = carry
-            perm = jax.random.permutation(key, dataset["obs"].shape[0])
+            perm = jax.random.permutation(key, num_slices)
             shuffled = jax.tree.map(lambda x: x[perm], dataset)
             mbs = jax.tree.map(
-                lambda x: x.reshape(
-                    (self.num_minibatches, self.minibatch_size)
-                    + x.shape[1:]
+                lambda x: x[: num_mb * mb_slices].reshape(
+                    (num_mb, mb_slices) + x.shape[1:]
                 ),
                 shuffled,
             )
@@ -312,9 +406,7 @@ class PPOTrainer:
             (ts.params, ts.opt_state, ts.lr),
             jnp.stack(keys),
         )
-        ts = ts.replace(
-            params=params, opt_state=opt_state, lr=lr, rng=rng
-        )
+        ts = ts.replace(params=params, opt_state=opt_state, lr=lr, rng=rng)
         aux = jax.tree.map(jnp.mean, aux)
         return ts, aux
 
@@ -323,27 +415,64 @@ class PPOTrainer:
         cfg = self.cfg
         ts, traj, last_value, stats = self._rollout(ts)
         advs, returns = self._gae(traj, last_value)
+        traj = dict(traj, adv=advs, ret=returns)
 
         # update running norms on this epoch's data
         if cfg.normalize_input:
             ts = ts.replace(obs_norm=ts.obs_norm.update(traj["obs"]))
+            if self.use_cv:
+                ts = ts.replace(
+                    states_norm=ts.states_norm.update(traj["states"])
+                )
         if cfg.normalize_value:
             ts = ts.replace(value_norm=ts.value_norm.update(returns))
 
-        flat = lambda x: x.reshape((-1,) + x.shape[2:])
-        dataset = dict(
-            obs=flat(traj["obs"]),
-            action=flat(traj["action"]),
-            logp=flat(traj["logp"]),
-            value=flat(traj["value"]),
-            mu=flat(traj["mu"]),
-            log_std=flat(traj["log_std"]),
-            adv=flat(advs),
-            ret=flat(returns),
+        T = cfg.horizon_length
+        N = self.env.num_envs
+        if self.is_rnn:
+            # sequence slices: (T, N, ...) -> (T/seq * N, seq, ...);
+            # hidden fields keep only each sequence's initial state
+            seq = cfg.seq_len
+            nch = T // seq
+
+            def to_seq(x):
+                x = x.reshape((nch, seq, N) + x.shape[2:])
+                x = jnp.moveaxis(x, 2, 0)  # (N, nch, seq, ...)
+                return x.reshape((N * nch, seq) + x.shape[3:])
+
+            skip = {"hidden_h", "hidden_c", "reward", "done"}
+            if not self.use_cv:
+                skip.add("states")
+            dataset = {
+                k: to_seq(v) for k, v in traj.items() if k not in skip
+            }
+            for k in ("hidden_h", "hidden_c"):
+                h = traj[k].reshape((nch, seq, N, -1))[:, 0]
+                h = jnp.moveaxis(h, 1, 0).reshape((N * nch, -1))
+                dataset[k] = h
+            num_slices = N * nch
+            mb_slices = max(cfg.minibatch_size // seq, 1)
+            mb_slices = min(mb_slices, num_slices)
+            while num_slices % mb_slices:
+                mb_slices -= 1
+        else:
+            flat = lambda x: x.reshape((T * N,) + x.shape[2:])
+            skip = {"reward", "done"}
+            if not self.use_cv:
+                skip.add("states")
+            dataset = {
+                k: flat(v) for k, v in traj.items() if k not in skip
+            }
+            num_slices = T * N
+            mb_slices = min(cfg.minibatch_size, num_slices)
+            while num_slices % mb_slices:
+                mb_slices -= 1
+
+        advs_mean = jnp.mean(advs)
+        advs_std = jnp.std(advs)
+        ts, aux = self._update(
+            ts, dataset, advs_mean, advs_std, num_slices, mb_slices
         )
-        advs_mean = jnp.mean(dataset["adv"])
-        advs_std = jnp.std(dataset["adv"])
-        ts, aux = self._update(ts, dataset, advs_mean, advs_std)
         ts = ts.replace(epoch=ts.epoch + 1)
         metrics = dict(
             mean_ep_reward=stats["fin_ret"] / jnp.maximum(stats["fin_cnt"], 1),

@@ -33,13 +33,19 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
     total = jnp.zeros(env.num_envs)
     count = jnp.zeros(env.num_envs)
     ep_ret = jnp.zeros(env.num_envs)
+    hidden = ts.hidden
 
     @jax.jit
-    def step(es, ep_ret, total, count):
-        mu, _, _ = trainer._policy(
-            ts.params, ts.obs_norm, ts.value_norm, es.obs
+    def step(es, hidden, ep_ret, total, count):
+        mu, _, _, hidden = trainer._policy(
+            ts.params, ts, es.obs, es.states, hidden
         )
         es = env._step_fn(es, jnp.clip(mu, -1.0, 1.0))
+        if trainer.is_rnn:
+            d = es.done[:, None]
+            hidden = tuple(
+                jnp.where(d, jnp.zeros_like(x), x) for x in hidden
+            )
         ep_ret = ep_ret + es.reward
         total = total + jnp.where(es.done, ep_ret, 0.0)
         count = count + es.done
@@ -47,7 +53,7 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
         return es, ep_ret, total, count
 
     for _ in range(steps):
-        es, ep_ret, total, count = step(es, ep_ret, total, count)
+        es, ep_ret, total, count = step(es, hidden, ep_ret, total, count)
     n = float(jnp.sum(count))
     mean_ret = float(jnp.sum(total)) / max(n, 1.0)
     return mean_ret, int(n)

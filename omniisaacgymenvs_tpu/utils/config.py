@@ -115,4 +115,17 @@ def ppo_config_kwargs(train_cfg: dict) -> dict:
         value_bootstrap=c.get("value_bootstrap", False),
         max_epochs=c.get("max_epochs", 100),
     )
+    # asymmetric central value (rl_games central_value_config)
+    cv = c.get("central_value_config")
+    if cv:
+        kw["central_value"] = True
+        kw["cv_units"] = tuple(
+            cv.get("network", {}).get("mlp", {}).get("units", (512, 512, 256, 128))
+        )
+    # recurrent policy (rl_games rnn block under network)
+    rnn = net.get("rnn", {})
+    if rnn:
+        kw["rnn"] = rnn.get("name", "lstm")
+        kw["rnn_units"] = rnn.get("units", 1024)
+        kw["seq_len"] = c.get("seq_len", c.get("seq_length", 4))
     return kw
