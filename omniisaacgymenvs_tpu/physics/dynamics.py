@@ -157,6 +157,7 @@ def aba(
     kin: Kinematics,
     gravity: jax.Array,
     h: float = 0.0,
+    mass_scale=None,
 ) -> jax.Array:
     """Articulated-body algorithm -> qdd (nv,).
 
@@ -177,6 +178,9 @@ def aba(
     IA = spatial.spatial_inertia(
         model.body_mass, model.body_com, model.body_inertia
     )  # (nb,6,6)
+    if mass_scale is not None:
+        # mass-proportional DR scaling (inertia scales with mass)
+        IA = IA * mass_scale[:, None, None]
     v = kin.v
     pA = spatial.cross_force(v, jnp.einsum("kij,kj->ki", IA, v))
     ERw = jnp.swapaxes(kin.Rw, -1, -2)
@@ -279,7 +283,8 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
 
 
 def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control,
-                  h: float = 0.0) -> jax.Array:
+                  h: float = 0.0, stiffness_scale=None,
+                  damping_scale=None) -> jax.Array:
     """Total active joint torque: PD drive (clamped) + direct effort +
     passive damping/friction. Matches the PhysX implicit joint drive law
     (stiffness*(target-q) + damping*(vtarget-qd), clamped to max_force;
@@ -289,9 +294,15 @@ def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control,
     matching h*Kd addition to the ABA diagonal (see aba())."""
     qj = q[model.jq_idx]
     qjd = qd[model.jv_idx]
+    kp = model.dof_stiffness
+    kd = model.dof_drive_damping
+    if stiffness_scale is not None:
+        kp = kp * stiffness_scale
+    if damping_scale is not None:
+        kd = kd * damping_scale
     drive = (
-        model.dof_stiffness * (control.pos_target - qj - h * qjd)
-        + model.dof_drive_damping * (control.vel_target - qjd)
+        kp * (control.pos_target - qj - h * qjd)
+        + kd * (control.vel_target - qjd)
     )
     drive = jnp.clip(drive, -model.dof_max_effort, model.dof_max_effort)
     passive = -model.dof_damping * qjd - model.dof_friction * jnp.tanh(qjd * 10.0)

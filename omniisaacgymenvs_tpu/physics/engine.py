@@ -106,32 +106,53 @@ class PhysicsEngine:
         return self._report(q, qd, jnp.zeros((max(m.num_sensors, 0), 6)))
 
     # ------------------------------------------------------------------
-    def _substep(self, q, qd, control: Control, f_applied, h):
+    def _substep(self, q, qd, control: Control, f_applied, h, overlay=None):
         """One integrator substep: FK -> contacts -> drives -> ABA ->
-        integrate. Returns (q, qd, sensor_forces)."""
+        integrate. Returns (q, qd, sensor_forces).
+
+        overlay: optional per-env domain-randomization parameter pytree
+        (mass_scale (nb,), stiffness_scale/damping_scale (njd,),
+        friction_scale (), gravity_delta (3,)) — traced parameter
+        perturbation replacing the reference's replicator-graph DR
+        (utils/domain_randomization.py)."""
         m = self.model
+        ov = overlay or {}
+        cparams = self.contact_params
+        if "friction_scale" in ov:
+            cparams = cparams.replace(mu=cparams.mu * ov["friction_scale"])
+        gravity = self._gravity
+        if "gravity_delta" in ov:
+            gravity = gravity + ov["gravity_delta"]
         kin = dynamics.kinematics(m, q, qd)
         avel, lvel = dynamics.world_velocities(m, kin)
         Rw = kin.Rw
         pw = kin.pw
         cres = plane_contacts(
-            m, pw, Rw, avel, lvel, self.contact_params, self.height_fn
+            m, pw, Rw, avel, lvel, cparams, self.height_fn
         )
         f_contact = cres.f_ext
         if self._has_pairs:
             f_contact = f_contact + pair_contacts(
-                m, self.pair_groups, pw, Rw, avel, lvel, self.contact_params
+                m, self.pair_groups, pw, Rw, avel, lvel, cparams
             )
         f_ext = f_contact + f_applied
         if self._has_gravity_comp:
             # counter-gravity at each compensated body's CoM (reference
             # shadow_hand.py set_shadow_hand_properties DisableGravity)
-            fg = -(m.gravity_comp * m.body_mass)[:, None] * self._gravity
+            mscale = ov.get("mass_scale", 1.0)
+            fg = -(m.gravity_comp * m.body_mass * mscale)[:, None] * gravity
             com_w = pw + jnp.einsum("kij,kj->ki", Rw, m.body_com)
             ng = jnp.cross(com_w - pw, fg)
             f_ext = f_ext + jnp.concatenate([ng, fg], axis=-1)
-        tau = dynamics.drive_torques(m, q, qd, control, h)
-        qdd = dynamics.aba(m, q, qd, tau, f_ext, kin, self._gravity, h)
+        tau = dynamics.drive_torques(
+            m, q, qd, control, h,
+            stiffness_scale=ov.get("stiffness_scale"),
+            damping_scale=ov.get("damping_scale"),
+        )
+        qdd = dynamics.aba(
+            m, q, qd, tau, f_ext, kin, gravity, h,
+            mass_scale=ov.get("mass_scale"),
+        )
         q, qd = dynamics.integrate(m, q, qd, qdd, h)
         if m.num_sensors:
             sb = jnp.asarray(m.sensor_body)
@@ -144,7 +165,8 @@ class PhysicsEngine:
             sensor_forces = jnp.zeros((0, 6))
         return q, qd, sensor_forces
 
-    def step_n(self, state: State, control: Control, n: int = 1) -> State:
+    def step_n(self, state: State, control: Control, n: int = 1,
+               overlay=None) -> State:
         """Advance n control steps under constant control (the reference's
         `for _ in range(control_frequency_inv): world.step()`,
         envs/vec_env_rlgames.py:64-66) — rolled into a lax.scan so the
@@ -157,7 +179,7 @@ class PhysicsEngine:
 
         def body(carry, _):
             q, qd, _sf = carry
-            return self._substep(q, qd, control, f_applied, h), None
+            return self._substep(q, qd, control, f_applied, h, overlay), None
 
         init = (
             state.q,

@@ -59,4 +59,10 @@ def get_task(name: str, cfg: dict | None = None) -> RLTask:
         raise KeyError(
             f"unknown task {name!r}; available: {sorted(task_map)}"
         )
-    return task_map[name](cfg)
+    task = task_map[name](cfg)
+    # DR config lives at the task yaml root (reference
+    # cfg/task/ShadowHand.yaml domain_randomization block)
+    from omniisaacgymenvs_tpu.utils.domain_randomization import Randomizer
+
+    task.randomizer = Randomizer((cfg or {}).get("domain_randomization"))
+    return task

@@ -67,8 +67,15 @@ class RLTask:
     clip_obs: float = jnp.inf
     clip_actions: float = jnp.inf
     decimation: int = 1  # reference controlFrequencyInv
+    # optional DR (utils/domain_randomization.Randomizer), attached by the
+    # registry from the task yaml's domain_randomization block
+    randomizer = None
 
     engine: PhysicsEngine
+
+    @property
+    def _dr_on(self):
+        return self.randomizer is not None and self.randomizer.randomize
 
     # ------------------------------------------------------------------
     def initial_carry(self) -> Any:
@@ -94,6 +101,15 @@ class RLTask:
         """Fresh env state (reference post_reset + reset_idx)."""
         rng, key = jax.random.split(rng)
         q, qd, carry = self.sample_reset(key)
+        if self._dr_on and isinstance(carry, dict):
+            kc, ko = jax.random.split(jax.random.fold_in(key, 17))
+            dr = self.randomizer.sample_correlated(
+                kc, self.num_obs, self.num_actions
+            )
+            overlay = self.randomizer.sample_overlay(ko, self.model)
+            if overlay is not None:
+                dr["overlay"] = overlay
+            carry["_dr"] = dr
         phys = self.engine.init_state(q, qd)
         zero_action = jnp.zeros(self.num_actions)
         obs, states, carry = self.observe(phys, carry, zero_action)
@@ -110,11 +126,12 @@ class RLTask:
             metrics=self.initial_metrics(),
         )
 
-    def physics_steps(self, phys: State, ctrl: Control) -> State:
+    def physics_steps(self, phys: State, ctrl: Control,
+                      overlay=None) -> State:
         """decimation x engine.step (reference envs/vec_env_rlgames.py:64-66,
         `for _ in range(control_frequency_inv): world.step`). Tasks with
         per-substep control (AnymalTerrain) override."""
-        return self.engine.step_n(phys, ctrl, self.decimation)
+        return self.engine.step_n(phys, ctrl, self.decimation, overlay)
 
     def step(self, es: EnvState, action: jax.Array) -> EnvState:
         """One control step. Auto-reset-on-entry: envs flagged done on the
@@ -140,13 +157,26 @@ class RLTask:
         )
 
         action = jnp.clip(action, -self.clip_actions, self.clip_actions)
+        dr = es.carry.get("_dr", {}) if isinstance(es.carry, dict) else {}
+        if self._dr_on:
+            # reference envs/vec_env_rlgames.py:59-60 — randomize actions
+            # after clipping, before pre_physics_step
+            action = self.randomizer.randomize_actions(
+                action, jax.random.fold_in(es.rng, 23), dr
+            )
         ctrl = self.control(action, es)
-        phys = self.physics_steps(es.phys, ctrl)
+        phys = self.physics_steps(es.phys, ctrl, dr.get("overlay"))
         progress = es.progress + 1
         obs, states, carry = self.observe(phys, es.carry, action)
         reward, done, carry, metrics = self.reward_done(
             obs, action, phys, carry, progress
         )
+        if self._dr_on:
+            # reference envs/vec_env_rlgames.py:70-71 — randomize
+            # observations after post_physics_step, before clipping
+            obs = self.randomizer.randomize_observations(
+                obs, jax.random.fold_in(es.rng, 29), dr
+            )
         # physics-explosion guard: a non-finite state terminates the episode
         # with zero reward instead of poisoning the training batch (the
         # reference's PhysX analogue is a solver blow-up crash,
