@@ -482,6 +482,11 @@ class PPOTrainer:
             lr=ts.lr,
             **aux,
         )
+        # task episode metrics (reference extras -> RLGPUAlgoObserver):
+        # mean over envs of EnvState.metrics
+        for k, v in ts.es.metrics.items():
+            tag = k if "/" in k else "Episode/" + k
+            metrics[tag] = jnp.mean(v)
         return ts, metrics
 
     # ------------------------------------------------------------------
@@ -558,9 +563,12 @@ class PPOTrainer:
                             f"| {m['steps_per_sec']:,.0f} steps/s"
                         )
                 if writer is not None:
-                    for tag in ("mean_ep_reward", "mean_ep_length", "kl",
-                                "lr", "loss", "actor_loss", "critic_loss"):
-                        writer.add_scalar(tag, m[tag], m["env_steps"])
+                    for tag, val in m.items():
+                        if isinstance(val, float):
+                            writer.add_scalar(
+                                tag if "/" in tag else "train/" + tag,
+                                val, m["env_steps"],
+                            )
                 if save_dir:
                     if (epoch + 1) % save_frequency == 0:
                         self.save(os.path.join(save_dir, "last"))

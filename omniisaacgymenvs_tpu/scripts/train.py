@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from omniisaacgymenvs_tpu.learn import PPOConfig, PPOTrainer
 from omniisaacgymenvs_tpu.scripts.common import build_env_from_cli
 from omniisaacgymenvs_tpu.utils.config import ppo_config_kwargs
+from omniisaacgymenvs_tpu.utils.metrics import make_writer, maybe_init_wandb
 
 
 def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
@@ -81,16 +82,26 @@ def main(argv=None):
     with open(os.path.join(run_dir, "config.json"), "w") as f:
         json.dump(cfg, f, indent=2, default=str)
     train_c = cfg["train"].get("params", {}).get("config", {})
+    # TensorBoard under runs/<experiment>/summaries (reference rl_games
+    # layout) + optional W&B (reference scripts/rlgames_train.py:110-125)
+    writer = make_writer(os.path.join(run_dir, "summaries"))
+    wandb_run = maybe_init_wandb(cfg)
     print(
         f"task={cfg['task_name']} num_envs={env.num_envs} "
         f"devices={len(jax.devices())} seed={cfg['seed']}"
     )
-    trainer.train(
-        save_dir=os.path.join(run_dir, "nn"),
-        save_frequency=train_c.get("save_frequency", 50),
-        save_best_after=train_c.get("save_best_after", 100),
-        log_every=1,
-    )
+    try:
+        trainer.train(
+            save_dir=os.path.join(run_dir, "nn"),
+            save_frequency=train_c.get("save_frequency", 50),
+            save_best_after=train_c.get("save_best_after", 100),
+            log_every=1,
+            writer=writer,
+        )
+    finally:
+        writer.close()
+        if wandb_run is not None:
+            wandb_run.finish()
 
 
 if __name__ == "__main__":
