@@ -79,6 +79,36 @@ def _tree(model: Model) -> _Tree:
     return t
 
 
+def _solve_spd6(A, b):
+    """Unrolled Cholesky solve for a 6x6 SPD system (the floating-base
+    articulated inertia). Replaces jnp.linalg.solve, whose batched LU
+    lowering is pathological on TPU — this is ~100 scalar VPU ops that
+    vectorize cleanly over the env axis."""
+    L = [[None] * 6 for _ in range(6)]
+    for i in range(6):
+        for j in range(i + 1):
+            sacc = A[..., i, j]
+            for k in range(j):
+                sacc = sacc - L[i][k] * L[j][k]
+            if i == j:
+                L[i][j] = jnp.sqrt(jnp.maximum(sacc, 1e-12))
+            else:
+                L[i][j] = sacc / L[j][j]
+    y = [None] * 6
+    for i in range(6):
+        sacc = b[..., i]
+        for k in range(i):
+            sacc = sacc - L[i][k] * y[k]
+        y[i] = sacc / L[i][i]
+    x = [None] * 6
+    for i in reversed(range(6)):
+        sacc = y[i]
+        for k in range(i + 1, 6):
+            sacc = sacc - L[k][i] * x[k]
+        x[i] = sacc / L[i][i]
+    return jnp.stack(x, axis=-1)
+
+
 def kinematics(model: Model, q: jax.Array, qd: jax.Array) -> Kinematics:
     """Forward pass: local transforms, body-frame velocities, world poses."""
     nb = model.nb
@@ -229,7 +259,7 @@ def aba(
         a0p = spatial.transform_motion(kin.E[i], kin.r[i], a_world)
         if model.jtype[i] == JointType.FREE:
             va = model.v_adr[i]
-            qdd_root = jnp.linalg.solve(IA[i], -(pA[i] + IA[i] @ a0p))
+            qdd_root = _solve_spd6(IA[i], -(pA[i] + IA[i] @ a0p))
             qdd = qdd.at[va : va + 6].set(qdd_root)
             a = a.at[i].set(a0p + qdd_root)
         else:
