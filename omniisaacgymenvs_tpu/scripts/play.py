@@ -1,0 +1,81 @@
+"""Inference/demo entry point.
+
+Reference: scripts/rlgames_play.py (forces test=True, loads a trained
+checkpoint, runs the policy; the AnymalTerrain demo variant comes from
+utils/demo_util.initialize_demo). Usage:
+
+    python -m omniisaacgymenvs_tpu.scripts.play task=Ant \
+        checkpoint=runs/Ant/nn/best [record=traj.npz] [max_iterations=1000]
+
+With record=<path>, the rollout's base poses/joint states are saved as an
+.npz for offline viewing (the headless stand-in for the reference's
+interactive Omniverse demo, SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omniisaacgymenvs_tpu.learn import PPOConfig, PPOTrainer
+from omniisaacgymenvs_tpu.scripts.common import build_env_from_cli
+from omniisaacgymenvs_tpu.scripts.train import evaluate
+from omniisaacgymenvs_tpu.utils.config import parse_cli, ppo_config_kwargs
+
+
+def main(argv=None):
+    overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    record = overrides.pop("record", None)
+    overrides["test"] = True
+    cfg, task, env = build_env_from_cli(
+        [f"{k}={v}" for k, v in overrides.items()]
+    )
+    trainer = PPOTrainer(
+        env, PPOConfig(**ppo_config_kwargs(cfg["train"])),
+        seed=int(cfg["seed"]),
+    )
+    if cfg.get("checkpoint"):
+        trainer.load(cfg["checkpoint"])
+        print(f"loaded checkpoint {cfg['checkpoint']}")
+    else:
+        print("no checkpoint given — playing the untrained policy")
+
+    steps = int(cfg.get("max_iterations") or 500)
+    if record:
+        es = env.reset(seed=int(cfg["seed"]))
+        ts = trainer.state
+        qs, rews = [], []
+        hidden = ts.hidden
+
+        @jax.jit
+        def step(es, hidden):
+            mu, _, _, hidden = trainer._policy(
+                ts.params, ts, es.obs, es.states, hidden
+            )
+            return env._step_fn(es, jnp.clip(mu, -1, 1)), hidden
+
+        for _ in range(steps):
+            es, hidden = step(es, hidden)
+            qs.append(np.asarray(es.phys.q[0]))
+            rews.append(float(es.reward[0]))
+        np.savez(
+            record,
+            q=np.stack(qs),
+            rewards=np.asarray(rews),
+            body_names=np.asarray(task.model.body_names),
+            dof_names=np.asarray(task.model.dof_names),
+        )
+        print(
+            f"recorded {steps} steps of env 0 to {record} "
+            f"(mean reward {np.mean(rews):.3f})"
+        )
+    else:
+        mean_ret, n = evaluate(trainer, steps=steps)
+        print(f"eval: mean episode reward {mean_ret:.2f} over {n} episodes")
+
+
+if __name__ == "__main__":
+    main()

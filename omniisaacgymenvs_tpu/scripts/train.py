@@ -56,7 +56,11 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
     for _ in range(steps):
         es, ep_ret, total, count = step(es, hidden, ep_ret, total, count)
     n = float(jnp.sum(count))
-    mean_ret = float(jnp.sum(total)) / max(n, 1.0)
+    if n == 0:
+        # no episode finished within the horizon: report the mean running
+        # return instead of 0
+        return float(jnp.mean(ep_ret)), 0
+    mean_ret = float(jnp.sum(total)) / n
     return mean_ret, int(n)
 
 
