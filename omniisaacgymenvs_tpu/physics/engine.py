@@ -69,6 +69,61 @@ class PhysicsEngine:
         import numpy as _np
 
         self._has_gravity_comp = bool(_np.any(_np.asarray(model.gravity_comp)))
+        self._init_fused()
+
+    def _init_fused(self):
+        """Optional Pallas fused-substep fast path (ops/fused_substep.py):
+        used on TPU for eligible scenes; exposed through custom_vmap so the
+        batched VecEnv step hits the kernel while unbatched calls fall back
+        to the reference implementation. Disable with OIGE_TPU_FUSED=0."""
+        import os
+
+        self._fused_cv = None
+        if os.environ.get("OIGE_TPU_FUSED", "1") == "0":
+            return
+        try:
+            import jax as _jax
+
+            on_tpu = _jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        from omniisaacgymenvs_tpu.ops import fused_substep as _fs
+
+        if not on_tpu or not _fs.eligible(self.model, self):
+            return
+        h = self.params.dt / self.params.substeps
+        fused = _fs.build_fused_substep(
+            self.model, h, self.params.gravity, self.contact_params
+        )
+        m = self.model
+        eng = self
+
+        from jax.custom_batching import custom_vmap
+
+        @custom_vmap
+        def substep_cv(q, qd, effort, pos_target, vel_target, f_applied):
+            ctrl = Control(
+                effort=effort, pos_target=pos_target, vel_target=vel_target,
+                body_force=jnp.zeros((m.nb, 3)),
+                body_torque=jnp.zeros((m.nb, 3)),
+            )
+            return eng._substep(q, qd, ctrl, f_applied, h)
+
+        @substep_cv.def_vmap
+        def _substep_vmap(axis_size, in_batched, q, qd, e, p, v, fa):
+            def bc(x, b, shape):
+                return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
+
+            q = bc(q, in_batched[0], (m.nq,))
+            qd = bc(qd, in_batched[1], (m.nv,))
+            e = bc(e, in_batched[2], (m.njd,))
+            p = bc(p, in_batched[3], (m.njd,))
+            v = bc(v, in_batched[4], (m.njd,))
+            fa = bc(fa, in_batched[5], (m.nb, 6))
+            out = fused(q, qd, e, p, v, fa)
+            return out, (True, True, True)
+
+        self._fused_cv = substep_cv
 
     # ------------------------------------------------------------------
     def default_control(self) -> Control:
@@ -177,8 +232,15 @@ class PhysicsEngine:
             [control.body_torque, control.body_force], axis=-1
         )
 
+        use_fused = self._fused_cv is not None and overlay is None
+
         def body(carry, _):
             q, qd, _sf = carry
+            if use_fused:
+                return self._fused_cv(
+                    q, qd, control.effort, control.pos_target,
+                    control.vel_target, f_applied,
+                ), None
             return self._substep(q, qd, control, f_applied, h, overlay), None
 
         init = (
