@@ -19,7 +19,7 @@ import time
 
 def main():
     task_name = os.environ.get("BENCH_TASK", "Humanoid")
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "4096"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "8192"))
     steps = int(os.environ.get("BENCH_STEPS", "64"))
 
     import jax

@@ -136,6 +136,23 @@ def _chol_solve6(A, b):
     return x
 
 
+def _mat_to_quat(R):
+    """Branch-free Shepperd rotmat -> wxyz quat on scalar entries."""
+    def ssqrt(x):
+        return jnp.sqrt(jnp.maximum(x, 1e-12))
+
+    tr = R[0][0] + R[1][1] + R[2][2]
+    qw = 0.5 * ssqrt(1.0 + tr)
+    qx = 0.5 * ssqrt(1.0 + R[0][0] - R[1][1] - R[2][2])
+    qy = 0.5 * ssqrt(1.0 - R[0][0] + R[1][1] - R[2][2])
+    qz = 0.5 * ssqrt(1.0 - R[0][0] - R[1][1] + R[2][2])
+    qx = jnp.copysign(qx, R[2][1] - R[1][2])
+    qy = jnp.copysign(qy, R[0][2] - R[2][0])
+    qz = jnp.copysign(qz, R[1][0] - R[0][1])
+    n = jnp.sqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12)
+    return [qw / n, qx / n, qy / n, qz / n]
+
+
 def eligible(model: Model, engine) -> bool:
     """Can the fused kernel simulate this scene?"""
     return (
@@ -206,19 +223,11 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
 
     n_in = nq + nv + 3 * njd + 6 * nb
     n_out = nq + nv + 6 * max(len(sensors), 1)
+    n_fk_out = 13 * nb
 
-    def substep_math(ins):
-        """The full substep on a list of n_in scalar-field arrays; returns
-        the n_out output fields. Pure — testable without Pallas."""
-        q = [ins[i] for i in range(nq)]
-        qd = [ins[nq + i] for i in range(nv)]
-        eff = [ins[nq + nv + i] for i in range(njd)]
-        ptg = [ins[nq + nv + njd + i] for i in range(njd)]
-        vtg = [ins[nq + nv + 2 * njd + i] for i in range(njd)]
-        fa0 = nq + nv + 3 * njd  # applied world wrench [t(3), f(3)] per body
-
-        # ---------------- FK ----------------
-        # root: quat (wxyz) -> Rw
+    def fk_full(q, qd):
+        """Forward kinematics on scalar fields (shared by the substep and
+        the post-integration report)."""
         w_, x_, y_, z_ = q[3], q[4], q[5], q[6]
         Rw0 = [
             [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
@@ -227,16 +236,15 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         ]
         E = [None] * nb
         r = [None] * nb
-        S = [None] * nb            # (axis3, is_rev) floats
+        S = [None] * nb
         vJ = [None] * nb
-        v = [None] * nb            # (w3, l3) body coords
+        v = [None] * nb
         cbias = [None] * nb
         Rw = [None] * nb
         pw = [None] * nb
         Rw[0] = Rw0
         pw[0] = [q[0], q[1], q[2]]
         v[0] = ([qd[0], qd[1], qd[2]], [qd[3], qd[4], qd[5]])
-
         for i in range(1, nb):
             p = parents[i]
             jd = jdof[i]
@@ -268,17 +276,41 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
             E[i], r[i], S[i] = Ei, ri, (Sw, Sl)
             vJ[i] = (vJw, vJl)
             v[i] = (wi, li)
-            # c = v x_m vJ
             cbias[i] = (
                 _cross(wi, vJw),
                 _vadd(_cross(wi, vJl), _cross(li, vJw)),
             )
             Rw[i] = _m3m(Rw[p], _m3t(Ei))
             pw[i] = _vadd(pw[p], _m3x(Rw[p], ri))
-
-        # world velocities per body
         wv = [_m3x(Rw[i], v[i][0]) for i in range(nb)]
         lv = [_m3x(Rw[i], v[i][1]) for i in range(nb)]
+        return E, r, S, vJ, v, cbias, Rw, pw, wv, lv
+
+    def fk_outputs(q, qd):
+        """13*nb report fields: pos(3), quat(4), avel(3), lvel(3) per body."""
+        _, _, _, _, _, _, Rw, pw, wv, lv = fk_full(q, qd)
+        outs = []
+        for i in range(nb):
+            outs += pw[i]
+        for i in range(nb):
+            outs += _mat_to_quat(Rw[i])
+        for i in range(nb):
+            outs += wv[i]
+        for i in range(nb):
+            outs += lv[i]
+        return outs
+
+    def substep_math(ins):
+        """The full substep on a list of n_in scalar-field arrays; returns
+        the n_out output fields. Pure — testable without Pallas."""
+        q = [ins[i] for i in range(nq)]
+        qd = [ins[nq + i] for i in range(nv)]
+        eff = [ins[nq + nv + i] for i in range(njd)]
+        ptg = [ins[nq + nv + njd + i] for i in range(njd)]
+        vtg = [ins[nq + nv + 2 * njd + i] for i in range(njd)]
+        fa0 = nq + nv + 3 * njd  # applied world wrench [t(3), f(3)] per body
+
+        E, r, S, vJ, v, cbias, Rw, pw, wv, lv = fk_full(q, qd)
 
         # ---------------- plane contacts ----------------
         zero = q[0] * 0.0
@@ -402,7 +434,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
 
         # root: a_world = [0; -g]; a0p = X0(a_world)
         g6 = [0.0, 0.0, 0.0, -gz[0], -gz[1], -gz[2]]
-        E0 = _m3t(Rw0)
+        E0 = _m3t(Rw[0])
         r0 = pw[0]
         a0p_w = _m3x(E0, g6[0:3])
         a0p_l = _m3x(E0, _vsub(g6[3:6], _cross(r0, g6[0:3])))
@@ -458,7 +490,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         # root pose
         om = qd_new[0:3]
         vel_b = qd_new[3:6]
-        dp = _m3x(Rw0, vel_b)
+        dp = _m3x(Rw[0], vel_b)
         for k in range(3):
             q_new[k] = q[k] + h * dp[k]
         # quat: q' = q * exp(om*h/2)
@@ -466,6 +498,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         ang = jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-24)
         sa = jnp.sin(ang) / ang
         ew, ex, ey, ez = jnp.cos(ang), sa * hx, sa * hy, sa * hz
+        w_, x_, y_, z_ = q[3], q[4], q[5], q[6]
         nw = w_ * ew - x_ * ex - y_ * ey - z_ * ez
         nx = w_ * ex + x_ * ew + y_ * ez - z_ * ey
         ny = w_ * ey - x_ * ez + y_ * ew + z_ * ex
@@ -535,7 +568,50 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
             sf = sf[:, :0]
         return q_new, qd_new, sf
 
+    def fk_kernel(in_ref, out_ref):
+        q = [in_ref[i] for i in range(nq)]
+        qd = [in_ref[nq + i] for i in range(nv)]
+        outs = fk_outputs(q, qd)
+        for k in range(n_fk_out):
+            out_ref[k] = outs[k]
+
+    def batched_fk(q, qd):
+        """Fused report FK: (N,nq),(N,nv) -> world pos/quat/avel/lvel."""
+        N = q.shape[0]
+        npad = -(-N // TILE) * TILE
+        nt = npad // LANES
+
+        def pack(x, d):
+            x = jnp.pad(x, ((0, npad - N), (0, 0)))
+            return x.T.reshape(d, nt, LANES)
+
+        data = jnp.concatenate([pack(q, nq), pack(qd, nv)], axis=0)
+        out = pl.pallas_call(
+            fk_kernel,
+            grid=(npad // TILE,),
+            in_specs=[
+                pl.BlockSpec(
+                    (nq + nv, SUBLANES, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (n_fk_out, SUBLANES, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_fk_out, nt, LANES), jnp.float32),
+        )(data)
+        out = out.reshape(n_fk_out, npad).T[:N]
+        pos = out[:, : 3 * nb].reshape(N, nb, 3)
+        quat = out[:, 3 * nb : 7 * nb].reshape(N, nb, 4)
+        avel = out[:, 7 * nb : 10 * nb].reshape(N, nb, 3)
+        lvel = out[:, 10 * nb : 13 * nb].reshape(N, nb, 3)
+        return pos, quat, avel, lvel
+
     batched.substep_math = substep_math
+    batched.fk = batched_fk
     batched.n_in = n_in
     batched.n_out = n_out
     return batched

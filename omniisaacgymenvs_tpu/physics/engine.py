@@ -71,6 +71,8 @@ class PhysicsEngine:
         self._has_gravity_comp = bool(_np.any(_np.asarray(model.gravity_comp)))
         self._init_fused()
 
+    _fused_fk_cv = None
+
     def _init_fused(self):
         """Optional Pallas fused-substep fast path (ops/fused_substep.py):
         used on TPU for eligible scenes; exposed through custom_vmap so the
@@ -125,6 +127,22 @@ class PhysicsEngine:
 
         self._fused_cv = substep_cv
 
+        @custom_vmap
+        def fk_cv(q, qd):
+            st = eng._report_xla(q, qd, jnp.zeros((m.num_sensors, 6)))
+            return st.body_pos, st.body_quat, st.body_avel, st.body_lvel
+
+        @fk_cv.def_vmap
+        def _fk_vmap(axis_size, in_batched, q, qd):
+            def bc(x, b, shape):
+                return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
+
+            q = bc(q, in_batched[0], (m.nq,))
+            qd = bc(qd, in_batched[1], (m.nv,))
+            return fused.fk(q, qd), (True,) * 4
+
+        self._fused_fk_cv = fk_cv
+
     # ------------------------------------------------------------------
     def default_control(self) -> Control:
         m = self.model
@@ -138,6 +156,16 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     def _report(self, q, qd, sensor_forces) -> State:
+        if self._fused_fk_cv is not None:
+            pos, quat, avel, lvel = self._fused_fk_cv(q, qd)
+            return State(
+                q=q, qd=qd, body_pos=pos, body_quat=quat,
+                body_lvel=lvel, body_avel=avel,
+                sensor_forces=sensor_forces,
+            )
+        return self._report_xla(q, qd, sensor_forces)
+
+    def _report_xla(self, q, qd, sensor_forces) -> State:
         """Fresh FK to fill the derived world-frame fields."""
         kin = dynamics.kinematics(self.model, q, qd)
         avel, lvel = dynamics.world_velocities(self.model, kin)
@@ -234,13 +262,23 @@ class PhysicsEngine:
 
         use_fused = self._fused_cv is not None and overlay is None
 
-        def body(carry, _):
-            q, qd, _sf = carry
-            if use_fused:
-                return self._fused_cv(
+        if use_fused:
+            def body_f(carry, _):
+                q, qd, _sf = carry
+                out = self._fused_cv(
                     q, qd, control.effort, control.pos_target,
                     control.vel_target, f_applied,
-                ), None
+                )
+                return out, None
+
+            init = (state.q, state.qd, jnp.zeros((m.num_sensors, 6)))
+            (q, qd, sf), _ = jax.lax.scan(
+                body_f, init, None, length=n * self.params.substeps
+            )
+            return self._report(q, qd, sf)  # fused FK kernel
+
+        def body(carry, _):
+            q, qd, _sf = carry
             return self._substep(q, qd, control, f_applied, h, overlay), None
 
         init = (
