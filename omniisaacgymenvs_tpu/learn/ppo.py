@@ -63,6 +63,7 @@ class PPOConfig:
     max_epochs: int = 100
     units: Sequence[int] = (32, 32)
     activation: str = "elu"
+    sigma_init: float = 0.0   # initial log-std (rl_games sigma_init val)
     lr_min: float = 1e-6
     lr_max: float = 1e-2
     # asymmetric actor-critic: separate critic on privileged states
@@ -103,12 +104,14 @@ class PPOTrainer:
                 lstm_units=cfg.rnn_units,
                 units=tuple(cfg.units),
                 activation=cfg.activation,
+                sigma_init=cfg.sigma_init,
             )
         else:
             self.net = ActorCritic(
                 num_actions=env.num_actions,
                 units=tuple(cfg.units),
                 activation=cfg.activation,
+                sigma_init=cfg.sigma_init,
             )
         self.cv_net = (
             CentralValue(units=tuple(cfg.cv_units), activation=cfg.activation)

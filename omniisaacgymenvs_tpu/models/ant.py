@@ -52,7 +52,7 @@ def build_ant(spawn_height: float = 0.5):
             joint_pos=tip,   # hip anchored at the inner capsule tip
             mass=m, com=com, inertia=I,
             limit=(deg(-30), deg(30)),
-            armature=0.01, damping=0.1,
+            armature=0.01, damping=1.0,
             max_velocity=30.0,
         )
         hips.append(hip)
@@ -69,7 +69,7 @@ def build_ant(spawn_height: float = 0.5):
             joint_pos=knee,
             mass=m, com=com, inertia=I,
             limit=(deg(rng[0]), deg(rng[1])),
-            armature=0.01, damping=0.1,
+            armature=0.01, damping=1.0,
             max_velocity=30.0,
             default_q=deg(dq),
         )

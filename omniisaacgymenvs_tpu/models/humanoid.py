@@ -30,7 +30,16 @@ HUMANOID_JOINT_GEARS = (
 )
 
 _DUMMY = dict(mass=0.05, inertia=(5e-4, 5e-4, 5e-4))
-_ARM = dict(armature=0.02, damping=0.1, max_velocity=30.0)
+
+
+def _arm(damping):
+    # per-joint damping follows the classic MJCF humanoid (abdomen/hips ~5,
+    # knees 1, ankles 3, arms 1) — without it the 67-135 Nm gears windmill
+    # the limbs into the velocity caps within milliseconds
+    return dict(armature=0.02, damping=damping, max_velocity=30.0)
+
+
+_ARM = _arm(1.0)
 
 
 def build_humanoid(spawn_height: float = 1.34):
@@ -51,13 +60,13 @@ def build_humanoid(spawn_height: float = 1.34):
     lw_dummy = b.add_body(
         "abdomen_z", parent=torso, joint_type=JointType.REVOLUTE,
         joint_axis=(0, 0, 1), joint_pos=(-0.01, 0, -0.26),
-        limit=(deg(-45), deg(45)), **_DUMMY, **_ARM,
+        limit=(deg(-45), deg(45)), **_DUMMY, **_arm(5.0),
     )
     m, com, I = BodyGeoms(1000.0).capsule((0, -0.06, 0), (0, 0.06, 0), 0.06).finalize()
     lower_waist = b.add_body(
         "abdomen_y", parent=lw_dummy, joint_type=JointType.REVOLUTE,
         joint_axis=(0, 1, 0), limit=(deg(-75), deg(30)),
-        mass=m, com=com, inertia=I, **_ARM,
+        mass=m, com=com, inertia=I, **_arm(5.0),
     )
 
     arms = {}
@@ -85,7 +94,7 @@ def build_humanoid(spawn_height: float = 1.34):
     pelvis = b.add_body(
         "abdomen_x", parent=lower_waist, joint_type=JointType.REVOLUTE,
         joint_axis=(1, 0, 0), joint_pos=(0, 0, -0.165),
-        limit=(deg(-35), deg(35)), mass=m, com=com, inertia=I, **_ARM,
+        limit=(deg(-35), deg(35)), mass=m, com=com, inertia=I, **_arm(5.0),
     )
 
     for side, sy in (("right", -1), ("left", 1)):
@@ -111,19 +120,19 @@ def build_humanoid(spawn_height: float = 1.34):
         hip_x = b.add_body(
             f"{side}_hip_x", parent=pelvis, joint_type=JointType.REVOLUTE,
             joint_axis=(1, 0, 0), joint_pos=(0, 0.1 * sy, -0.04),
-            limit=hx_rng, **_DUMMY, **_ARM,
+            limit=hx_rng, **_DUMMY, **_arm(5.0),
         )
         hip_y = b.add_body(
             f"{side}_hip_y", parent=hip_x, joint_type=JointType.REVOLUTE,
             joint_axis=(0, 1, 0), limit=(deg(-110), deg(30)),
-            **_DUMMY, **_ARM,
+            **_DUMMY, **_arm(5.0),
         )
         tip = np.array([0, 0.01 * -sy, -0.34])
         m, com, I = BodyGeoms(1000.0).capsule((0, 0, 0), tip, 0.06).finalize()
         thigh = b.add_body(
             f"{side}_hip_z", parent=hip_y, joint_type=JointType.REVOLUTE,
             joint_axis=(0, 0, 1), limit=hz_rng,
-            mass=m, com=com, inertia=I, **_ARM,
+            mass=m, com=com, inertia=I, **_arm(5.0),
         )
         thighs[side] = thigh
 
@@ -144,13 +153,13 @@ def build_humanoid(spawn_height: float = 1.34):
         ankle_y = b.add_body(
             f"{side}_ankle_y", parent=shins[side], joint_type=JointType.REVOLUTE,
             joint_axis=(0, 1, 0), joint_pos=(0, 0, -0.39),
-            limit=(deg(-50), deg(50)), **_DUMMY, **_ARM,
+            limit=(deg(-50), deg(50)), **_DUMMY, **_arm(3.0),
         )
         m, com, I = BodyGeoms(1100.0).box((0.045, 0, -0.0275), (0.085, 0.045, 0.0275)).finalize()
         foot = b.add_body(
             f"{side}_ankle_x", parent=ankle_y, joint_type=JointType.REVOLUTE,
             joint_axis=(1, 0, 0), limit=(deg(-50), deg(50)),
-            mass=m, com=com, inertia=I, **_ARM,
+            mass=m, com=com, inertia=I, **_arm(3.0),
         )
         b.add_box_collider(foot, (0.045, 0, -0.0275), (0.085, 0.045, 0.0275))
         b.add_force_sensor(foot)

@@ -89,9 +89,14 @@ def ppo_config_kwargs(train_cfg: dict) -> dict:
     net = params.get("network", {})
     c = params.get("config", {})
     mlp = net.get("mlp", net)
+    sigma_init = (
+        net.get("space", {}).get("continuous", {}).get("sigma_init", {})
+    )
     kw = dict(
         units=tuple(mlp.get("units", (256, 128, 64))),
         activation=mlp.get("activation", "elu"),
+        sigma_init=float(sigma_init.get("val", 0.0))
+        if isinstance(sigma_init, dict) else 0.0,
         horizon_length=c.get("horizon_length", 16),
         minibatch_size=c.get("minibatch_size", 8192),
         mini_epochs=c.get("mini_epochs", 4),

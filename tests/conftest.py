@@ -18,7 +18,7 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_oige_tpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_oige_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 try:
     from jax.extend.backend import clear_backends
