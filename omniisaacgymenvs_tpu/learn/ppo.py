@@ -430,6 +430,20 @@ class PPOTrainer:
         if cfg.normalize_value:
             ts = ts.replace(value_norm=ts.value_norm.update(returns))
 
+        if cfg.normalize_input and not self.is_rnn:
+            # re-evaluate the behavior policy under the UPDATED obs norm so
+            # the PPO ratio starts exactly at 1 — otherwise the norm shift
+            # between rollout and SGD masquerades as policy KL and drives
+            # the adaptive LR schedule down
+            x = ts.obs_norm.normalize(traj["obs"])
+            mu0, log_std0, v0 = self.net.apply(ts.params["ac"], x)
+            logp0 = gaussian_logprob(mu0, log_std0, traj["action"])
+            traj = dict(
+                traj, mu=mu0,
+                log_std=jnp.broadcast_to(log_std0, mu0.shape),
+                logp=logp0,
+            )
+
         T = cfg.horizon_length
         N = self.env.num_envs
         if self.is_rnn:
