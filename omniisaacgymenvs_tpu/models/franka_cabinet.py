@@ -45,7 +45,10 @@ DRAWER_INWARD_AXIS = (1.0, 0.0, 0.0)         # into the cabinet (away from arm)
 DRAWER_UP_AXIS = (0.0, 0.0, 1.0)
 
 
-def build_franka_cabinet():
+def build_franka_cabinet(num_props: int = 0):
+    """num_props: optional clutter cubes resting in the drawer (reference
+    tasks/franka_cabinet.py get_props :105-142 — 8 cm cubes, density 100,
+    gridded around the drawer center)."""
     b = ModelBuilder("FrankaCabinet")
 
     # ---------------- franka (fixed base at origin) ----------------
@@ -121,4 +124,35 @@ def build_franka_cabinet():
     b.add_capsule_collider(
         drawer, (-0.16, -0.06, 0.0), (-0.16, 0.06, 0.0), 0.012, receive=True
     )
+    if num_props > 0:
+        import math as _math
+
+        # drawer tray the props rest on
+        b.add_box_collider(drawer, (0.1, 0, -0.05), (0.17, 0.24, 0.01),
+                           receive=True)
+        per_row = int(_math.ceil(_math.sqrt(num_props)))
+        size = 0.05   # scaled-down cubes fit our drawer tray
+        spacing = 0.06
+        xmin = -0.5 * spacing * (per_row - 1)
+        ymin = -0.5 * spacing * (per_row - 1)
+        mass = 400.0 * size**3
+        inertia = mass * size * size / 6.0
+        # tray region behind the drawer front box (local x > 0.12)
+        drawer_world = CABINET_POS + np.asarray(DRAWER_JOINT_POS)
+        count = 0
+        for j in range(per_row):
+            for k in range(per_row):
+                if count >= num_props:
+                    break
+                pos = drawer_world + np.array(
+                    [0.2 + xmin + j * spacing, ymin + k * spacing,
+                     -0.04 + size / 2 + 0.005]
+                )
+                prop = b.add_body(
+                    f"prop_{count}", parent=-1, joint_type=JointType.FREE,
+                    mass=mass, inertia=(inertia,) * 3,
+                    default_pos=tuple(pos),
+                )
+                b.add_box_collider(prop, (0, 0, 0), (size / 2,) * 3)
+                count += 1
     return b.finalize(), drawer

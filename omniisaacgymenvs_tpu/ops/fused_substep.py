@@ -328,8 +328,8 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
             vpt = _vadd(lv[b], _cross(wv[b], rel))
             vn = vpt[2]
             fn = jnp.minimum(
-                jnp.maximum(kn * pen - kdn * vn, 0.0)
-                * (pen > 0.0).astype(jnp.float32),
+                kn * jnp.maximum(pen, 0.0)
+                * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
                 fn_max,
             )
             vt0, vt1 = vpt[0], vpt[1]

@@ -32,7 +32,10 @@ class ContactParams:
     """
 
     kn: float = 5.0e4
-    kd: float = 2.0e3
+    kd: float = 2.0      # Hunt-Crossley damping factor chi [s/m]:
+                         # fn = kn*pen*(1 + chi*(-vn)) — penetration-scaled
+                         # damping has no touch-instant force spike and stays
+                         # stable under multi-point contact
     kt: float = 1.0e3
     mu: float = 1.0
     # per-point normal force cap — the compliant analog of PhysX
@@ -42,16 +45,20 @@ class ContactParams:
 
 
 def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
-                        omega_dt: float = 0.7, zeta: float = 0.5,
+                        omega_dt: float = 0.5, chi: float = 2.0,
                         max_depenetration_velocity: float = 10.0) -> ContactParams:
     """Pick stable compliant-contact gains for a model and substep dt.
 
-    Semi-implicit Euler is stable for an undamped contact spring up to
-    omega*dt = 2 and for explicit damping up to kd*dt/m = 2. Gains are set
-    from the lightest body that carries contact points:
-      kn = (omega_dt / dt)^2 * m_min, kd = 2*zeta*sqrt(kn*m_min), kt = kd.
-    This replaces the reference's PhysX implicit TGS solver stiffness
-    semantics with an explicit-stable equivalent.
+    Semi-implicit Euler is stable for the contact spring up to
+    omega*dt = 2; omega_dt=0.5 leaves headroom for several simultaneous
+    contact points on one body (box corners). Stiffness comes from the
+    lightest body that carries contact points:
+      kn = (omega_dt / dt)^2 * m_min.
+    Damping is Hunt-Crossley (penetration-scaled, chi [s/m]) so there is no
+    force spike at first touch and no explicit-damper instability; the
+    tangential gain kt satisfies kt*dt/m = omega_dt^2 < 1. This replaces
+    the reference's PhysX implicit TGS solver semantics with an
+    explicit-stable equivalent.
     """
     import numpy as np
 
@@ -60,9 +67,9 @@ def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
     masses = np.asarray(model.body_mass)[np.asarray(model.cp_body)]
     m_min = float(masses.min())
     kn = (omega_dt / dt_sub) ** 2 * m_min
-    kd = 2.0 * zeta * float(np.sqrt(kn * m_min))
+    kt = kn * dt_sub
     fn_max = m_min * max_depenetration_velocity / dt_sub
-    return ContactParams(kn=kn, kd=kd, kt=kd, mu=mu, fn_max=fn_max)
+    return ContactParams(kn=kn, kd=chi, kt=kt, mu=mu, fn_max=fn_max)
 
 
 class ContactResult(NamedTuple):
@@ -103,8 +110,12 @@ def plane_contacts(
     vn = jnp.sum(v_pt * n, axis=-1)
     vt = v_pt - vn[..., None] * n
 
+    # Hunt-Crossley: damping scaled by penetration (no touch spike)
     fn = jnp.where(
-        active, jnp.maximum(0.0, params.kn * pen - params.kd * vn), 0.0
+        active,
+        params.kn * jnp.maximum(pen, 0.0)
+        * jnp.clip(1.0 - params.kd * vn, 0.0, 5.0),
+        0.0,
     )
     fn = jnp.minimum(fn, params.fn_max)
     vt_norm = jnp.linalg.norm(vt, axis=-1)
@@ -162,12 +173,17 @@ def build_pair_groups(model: Model) -> PairGroups:
 
 
 def _contact_force(pen, n, vrel, mu, params: ContactParams):
-    """Compliant normal + capped viscous friction for a batch of contacts.
+    """Compliant normal (Hunt-Crossley damped) + capped viscous friction.
     Returns world-frame force on the POINT body."""
     active = pen > 0.0
     vn = jnp.sum(vrel * n, axis=-1)
     vt = vrel - vn[..., None] * n
-    fn = jnp.where(active, jnp.maximum(0.0, params.kn * pen - params.kd * vn), 0.0)
+    fn = jnp.where(
+        active,
+        params.kn * jnp.maximum(pen, 0.0)
+        * jnp.clip(1.0 - params.kd * vn, 0.0, 5.0),
+        0.0,
+    )
     fn = jnp.minimum(fn, params.fn_max)
     vt_norm = jnp.linalg.norm(vt, axis=-1)
     ft_mag = jnp.minimum(mu * fn, params.kt * vt_norm)

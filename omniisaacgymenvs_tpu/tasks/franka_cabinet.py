@@ -52,7 +52,8 @@ class FrankaCabinetTask(RLTask):
         self.decimation = env_cfg.get("controlFrequencyInv", 2)
         self.dt = 1.0 / 60.0  # reference tasks/franka_cabinet.py:63
 
-        model, drawer_body = fcm.build_franka_cabinet()
+        self.num_props = env_cfg.get("numProps", 0)
+        model, drawer_body = fcm.build_franka_cabinet(self.num_props)
         self.model = model
         self._drawer_body = drawer_body
         self.engine = PhysicsEngine(

@@ -51,3 +51,19 @@ def test_tilting_tray_moves_ball():
     on = np.asarray(es.phys.q[:, qa + 2]) > 0.4
     if on.sum():
         assert np.any(np.abs(x[on]) > 0.02)
+
+
+def test_franka_props_rest_in_drawer():
+    """numProps clutter cubes must rest stably on the drawer tray
+    (reference tasks/franka_cabinet.py get_props)."""
+    from omniisaacgymenvs_tpu.tasks import get_task as _gt
+
+    task = _gt("FrankaCabinet", {"env": {"numProps": 2}})
+    env = VecEnv(task, 2)
+    es = env.reset(seed=0)
+    for _ in range(60):
+        es = env.step(es, jnp.zeros((2, 9)))
+    for i in range(2):
+        qa = task.model.root_q_adr(f"prop_{i}")
+        z = float(es.phys.q[0, qa + 2])
+        assert 0.65 < z < 0.78, z
