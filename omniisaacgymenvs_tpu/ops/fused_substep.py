@@ -22,9 +22,6 @@ the kernel; unbatched calls fall back to the reference implementation.
 
 from __future__ import annotations
 
-import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np
