@@ -162,7 +162,7 @@ class RLTask:
             # reference envs/vec_env_rlgames.py:59-60 — randomize actions
             # after clipping, before pre_physics_step
             action = self.randomizer.randomize_actions(
-                action, jax.random.fold_in(es.rng, 23), dr
+                action, jax.random.fold_in(es.rng, 23), dr, es.progress
             )
         ctrl = self.control(action, es)
         phys = self.physics_steps(es.phys, ctrl, dr.get("overlay"))
@@ -175,7 +175,7 @@ class RLTask:
             # reference envs/vec_env_rlgames.py:70-71 — randomize
             # observations after post_physics_step, before clipping
             obs = self.randomizer.randomize_observations(
-                obs, jax.random.fold_in(es.rng, 29), dr
+                obs, jax.random.fold_in(es.rng, 29), dr, progress
             )
         # physics-explosion guard: a non-finite state terminates the episode
         # with zero reward instead of poisoning the training batch (the

@@ -121,23 +121,34 @@ class Randomizer:
             out["act_corr"] = _sample(k2, spec, (num_actions,))
         return out
 
-    def randomize_observations(self, obs, rng, corr: dict):
+    def randomize_observations(self, obs, rng, corr: dict, progress=None):
         spec = self._spec("observations", "on_reset")
         if spec and "obs_corr" in corr:
             obs = _apply(obs, corr["obs_corr"], spec)
         spec = self._spec("observations", "on_interval")
         if spec:
-            obs = _apply(obs, _sample(rng, spec, obs.shape), spec)
+            noised = _apply(obs, _sample(rng, spec, obs.shape), spec)
+            obs = self._gate_interval(spec, progress, noised, obs)
         return obs
 
-    def randomize_actions(self, action, rng, corr: dict):
+    def randomize_actions(self, action, rng, corr: dict, progress=None):
         spec = self._spec("actions", "on_reset")
         if spec and "act_corr" in corr:
             action = _apply(action, corr["act_corr"], spec)
         spec = self._spec("actions", "on_interval")
         if spec:
-            action = _apply(action, _sample(rng, spec, action.shape), spec)
+            noised = _apply(action, _sample(rng, spec, action.shape), spec)
+            action = self._gate_interval(spec, progress, noised, action)
         return action
+
+    @staticmethod
+    def _gate_interval(spec, progress, noised, clean):
+        """Apply on_interval noise every `frequency_interval` steps
+        (reference randomize.py frequency gating)."""
+        freq = int(spec.get("frequency_interval", 1))
+        if freq <= 1 or progress is None:
+            return noised
+        return jnp.where(progress % freq == 0, noised, clean)
 
     # ------------------------------------------------------------------
     # simulation / articulation parameter overlay (reference :126-174,
