@@ -9,12 +9,12 @@ over an ('env',) mesh; the rl-device copy disappears (co-located learner).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from omniisaacgymenvs_tpu.parallel.mesh import env_sharding, shard_env_tree
+from omniisaacgymenvs_tpu.parallel.mesh import env_sharding
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 

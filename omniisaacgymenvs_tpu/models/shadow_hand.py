@@ -17,7 +17,7 @@ USD traversal convention.
 
 import numpy as np
 
-from omniisaacgymenvs_tpu.models.common import BodyGeoms, deg
+from omniisaacgymenvs_tpu.models.common import BodyGeoms
 from omniisaacgymenvs_tpu.physics.model import JointType, ModelBuilder
 
 OBJECT_SIZE = 0.065          # block edge length (scale 1.0)

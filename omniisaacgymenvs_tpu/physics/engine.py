@@ -11,7 +11,6 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional
 
-import flax.struct
 import jax
 import jax.numpy as jnp
 

@@ -7,7 +7,6 @@ reference README.md:126-132). Prints reward statistics and throughput.
 
 from __future__ import annotations
 
-import sys
 import time
 
 import jax

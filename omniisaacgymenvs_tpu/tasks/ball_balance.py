@@ -20,7 +20,6 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.balance_bot import (
     BALL_RADIUS,
-    TRAY_HEIGHT,
     build_balance_bot,
 )
 from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams

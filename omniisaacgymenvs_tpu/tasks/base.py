@@ -14,13 +14,13 @@ by the VecEnv layer.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import flax.struct
 import jax
 import jax.numpy as jnp
 
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine
 from omniisaacgymenvs_tpu.physics.state import Control, State
 
 

@@ -46,7 +46,7 @@ Config schema (mirrors reference task yaml):
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

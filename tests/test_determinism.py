@@ -2,7 +2,6 @@
 and checkpoint/resume roundtrip."""
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from omniisaacgymenvs_tpu.envs import VecEnv

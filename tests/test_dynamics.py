@@ -4,7 +4,6 @@ energy conservation, vmap-vs-loop equivalence)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 
 from omniisaacgymenvs_tpu.models import (
     build_ant,
@@ -15,7 +14,6 @@ from omniisaacgymenvs_tpu.models import (
 )
 from omniisaacgymenvs_tpu.physics import dynamics
 from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
-from omniisaacgymenvs_tpu.physics.state import Control
 
 G = 9.81
 
