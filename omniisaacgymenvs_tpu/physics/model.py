@@ -311,6 +311,39 @@ class ModelBuilder:
         get_force_sensor_forces, tasks/shared/locomotion.py:89)."""
         self._sensors.append(body)
 
+    def set_drive(
+        self,
+        dof_name: str,
+        stiffness: Optional[float] = None,
+        damping: Optional[float] = None,
+        max_effort: Optional[float] = None,
+        max_velocity: Optional[float] = None,
+        armature: Optional[float] = None,
+        default_q: Optional[float] = None,
+    ):
+        """Configure a joint drive by dof name after construction (reference
+        tasks/utils/usd_utils.py:71-82 set_drive applies USD DriveAPI
+        stiffness/damping/max_force post-hoc to authored assets; the analog
+        here for imported URDF/MJCF models whose sources carry no PD gains).
+        `damping` sets the DRIVE damping (PhysX drive law), not the passive
+        joint damping."""
+        for b in self._bodies:
+            if b.parent != -1 and b.name == dof_name:
+                if stiffness is not None:
+                    b.stiffness = float(stiffness)
+                if damping is not None:
+                    b.drive_damping = float(damping)
+                if max_effort is not None:
+                    b.max_effort = float(max_effort)
+                if max_velocity is not None:
+                    b.max_velocity = float(max_velocity)
+                if armature is not None:
+                    b.armature = float(armature)
+                if default_q is not None:
+                    b.default_q = float(default_q)
+                return
+        raise KeyError(f"no dof named {dof_name!r}")
+
     def set_root_default(self, pos=(0, 0, 0), quat=(1, 0, 0, 0), body: int = 0):
         self._bodies[body].default_pose = np.concatenate(
             [np.asarray(pos, np.float64), np.asarray(quat, np.float64)]
