@@ -7,8 +7,10 @@ systems report ~100k-600k Humanoid env-steps/s on one A100-class GPU
 (SURVEY.md §6). vs_baseline is computed against the top of that range
 (600k env-steps/s single-device).
 
-Env vars: BENCH_TASK (default Humanoid), BENCH_NUM_ENVS (default 4096),
-BENCH_STEPS (default 64).
+Env vars: BENCH_TASK (default Humanoid), BENCH_NUM_ENVS (default 32768 —
+the single-v5e-chip throughput peak from the batch sweep in
+docs/performance.md; 8192 also exceeds the 10M target), BENCH_STEPS
+(default 64).
 """
 
 import json
@@ -19,7 +21,7 @@ import time
 
 def main():
     task_name = os.environ.get("BENCH_TASK", "Humanoid")
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "8192"))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", "32768"))
     steps = int(os.environ.get("BENCH_STEPS", "64"))
 
     import jax

@@ -550,20 +550,33 @@ class PPOTrainer:
         save_frequency: int = 50,
         save_best_after: int = 100,
         writer=None,
+        profile_dir: Optional[str] = None,
+        profile_start: int = 3,
+        profile_epochs: int = 2,
     ):
         """Python driver loop; each epoch is one jitted XLA program.
 
         save_dir/save_frequency/save_best_after mirror the rl_games
         checkpointing scheme (cfg/train/*PPO.yaml); `writer` is an optional
         metrics writer with .add_scalar(tag, value, step) (TensorBoard-like,
-        reference utils/rlgames/rlgames_utils.py:67-91)."""
+        reference utils/rlgames/rlgames_utils.py:67-91). profile_dir captures
+        a jax.profiler device trace of `profile_epochs` post-warmup epochs
+        (view with tensorboard-plugin-profile / xprof; the reference has no
+        tracing story, SURVEY.md §5 — here it is first-class)."""
         max_epochs = max_epochs or self.cfg.max_epochs
         history = []
         steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
         best_reward = -float("inf")
+        profile_stop = profile_start + profile_epochs - 1
         t0 = time.time()
         for epoch in range(max_epochs):
+            if profile_dir is not None and epoch == profile_start:
+                jax.block_until_ready(self.state.params)
+                jax.profiler.start_trace(profile_dir)
             self.state, metrics = self._epoch_jit(self.state)
+            if profile_dir is not None and epoch == profile_stop:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             last = epoch == max_epochs - 1
             if epoch % log_every == 0 or last or save_dir:
                 m = {k: float(v) for k, v in metrics.items()}

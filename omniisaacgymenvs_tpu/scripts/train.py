@@ -93,6 +93,10 @@ def main(argv=None):
         f"task={cfg['task_name']} num_envs={env.num_envs} "
         f"devices={len(jax.devices())} seed={cfg['seed']}"
     )
+    # profile=N captures a jax.profiler trace of N post-warmup epochs to
+    # runs/<experiment>/trace (tracing/profiling aux subsystem; the
+    # reference has none, SURVEY.md §5)
+    profile_epochs = int(cfg.get("profile", 0) or 0)
     try:
         trainer.train(
             save_dir=os.path.join(run_dir, "nn"),
@@ -100,6 +104,10 @@ def main(argv=None):
             save_best_after=train_c.get("save_best_after", 100),
             log_every=1,
             writer=writer,
+            profile_dir=(
+                os.path.join(run_dir, "trace") if profile_epochs else None
+            ),
+            profile_epochs=profile_epochs,
         )
     finally:
         writer.close()
