@@ -10,7 +10,9 @@ systems report ~100k-600k Humanoid env-steps/s on one A100-class GPU
 Env vars: BENCH_TASK (default Humanoid), BENCH_NUM_ENVS (default 32768 —
 the single-v5e-chip throughput peak from the batch sweep in
 docs/performance.md; 8192 also exceeds the 10M target), BENCH_STEPS
-(default 64).
+(default 256 — long enough to amortize the fixed ~25 ms per-dispatch
+overhead of the tunneled TPU runtime; training jits whole epochs, so the
+amortized number is the representative one).
 """
 
 import json
@@ -22,7 +24,7 @@ import time
 def main():
     task_name = os.environ.get("BENCH_TASK", "Humanoid")
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", "32768"))
-    steps = int(os.environ.get("BENCH_STEPS", "64"))
+    steps = int(os.environ.get("BENCH_STEPS", "256"))
 
     import jax
 
@@ -47,13 +49,14 @@ def main():
         )
 
     rollout = jax.jit(
-        lambda es, rng: env.rollout(es, policy, steps, rng)[0]
+        lambda es, rng: env.rollout(es, policy, steps, rng)[0],
+        donate_argnums=0,
     )
 
-    # warm-up / compile
+    # warm-up / compile (es is donated: always carry the fresh result)
     t0 = time.time()
-    es_w = rollout(es, jax.random.PRNGKey(0))
-    jax.block_until_ready(es_w.obs)
+    es = rollout(es, jax.random.PRNGKey(0))
+    jax.block_until_ready(es.obs)
     compile_s = time.time() - t0
 
     # timed runs

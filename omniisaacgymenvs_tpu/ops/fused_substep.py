@@ -607,8 +607,99 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         lvel = out[:, 10 * nb : 13 * nb].reshape(N, nb, 3)
         return pos, quat, avel, lvel
 
+    # ------------------------------------------------------------------
+    # whole control step in one kernel: n_steps substeps looped in VMEM
+    # (fori_loop) + the report FK, so state never round-trips HBM between
+    # substeps and the control inputs are packed (transposed) once per
+    # control step instead of once per substep. This removed the dominant
+    # per-substep layout-conversion copies seen in device traces
+    # (docs/performance.md).
+    n_total = n_out + n_fk_out
+    _step_kernels: dict = {}
+
+    def _step_kernel(n_steps: int):
+        kern = _step_kernels.get(n_steps)
+        if kern is None:
+            def kern(in_ref, out_ref):
+                ctrl = [in_ref[nq + nv + i] for i in range(n_in - nq - nv)]
+                zero = jnp.zeros_like(in_ref[0])
+                st0 = jnp.stack(
+                    [in_ref[i] for i in range(nq + nv)]
+                    + [zero] * (n_out - nq - nv)
+                )
+
+                def body(_, st):
+                    ins = [st[i] for i in range(nq + nv)] + ctrl
+                    return jnp.stack(substep_math(ins))
+
+                st = jax.lax.fori_loop(0, n_steps, body, st0)
+                for k in range(n_out):
+                    out_ref[k] = st[k]
+                fk = fk_outputs(
+                    [st[i] for i in range(nq)],
+                    [st[nq + i] for i in range(nv)],
+                )
+                for k in range(n_fk_out):
+                    out_ref[n_out + k] = fk[k]
+
+            _step_kernels[n_steps] = kern
+        return kern
+
+    def batched_step(q, qd, effort, pos_target, vel_target, f_applied,
+                     n_steps: int, interpret: bool = False):
+        """(N,·) state/control -> (q', qd', sensor_forces, body_pos,
+        body_quat, body_avel, body_lvel) after n_steps fused substeps."""
+        N = q.shape[0]
+        npad = -(-N // TILE) * TILE
+        nt = npad // LANES
+
+        def pack(x, d):
+            x = jnp.pad(x, ((0, npad - N), (0, 0)))
+            return x.T.reshape(d, nt, LANES)
+
+        data = jnp.concatenate(
+            [
+                pack(q, nq), pack(qd, nv), pack(effort, njd),
+                pack(pos_target, njd), pack(vel_target, njd),
+                pack(f_applied.reshape(N, 6 * nb), 6 * nb),
+            ],
+            axis=0,
+        )
+        out = pl.pallas_call(
+            _step_kernel(n_steps),
+            grid=(npad // TILE,),
+            in_specs=[
+                pl.BlockSpec(
+                    (n_in, SUBLANES, LANES),
+                    lambda i: (0, i, 0),
+                    memory_space=pltpu.VMEM,
+                )
+            ],
+            out_specs=pl.BlockSpec(
+                (n_total, SUBLANES, LANES),
+                lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            out_shape=jax.ShapeDtypeStruct((n_total, nt, LANES), jnp.float32),
+            interpret=interpret,
+        )(data)
+        out = out.reshape(n_total, npad).T[:N]
+        q_new = out[:, :nq]
+        qd_new = out[:, nq : nq + nv]
+        ns = max(len(sensors), 1)
+        sf = out[:, nq + nv : nq + nv + 6 * ns].reshape(N, ns, 6)
+        if not sensors:
+            sf = sf[:, :0]
+        o = n_out
+        pos = out[:, o : o + 3 * nb].reshape(N, nb, 3)
+        quat = out[:, o + 3 * nb : o + 7 * nb].reshape(N, nb, 4)
+        avel = out[:, o + 7 * nb : o + 10 * nb].reshape(N, nb, 3)
+        lvel = out[:, o + 10 * nb : o + 13 * nb].reshape(N, nb, 3)
+        return q_new, qd_new, sf, pos, quat, avel, lvel
+
     batched.substep_math = substep_math
     batched.fk = batched_fk
+    batched.step = batched_step
     batched.n_in = n_in
     batched.n_out = n_out
     return batched

@@ -21,6 +21,7 @@ forces).
 
 from __future__ import annotations
 
+import weakref
 from typing import NamedTuple
 
 import jax
@@ -58,6 +59,9 @@ _TREE_CACHE: dict = {}
 
 
 def _tree(model: Model) -> _Tree:
+    # keyed by id() with a GC finalizer evicting dead entries — a plain
+    # id() key can be REUSED by a new Model after the old one is collected,
+    # silently returning the wrong tree
     key = id(model)
     t = _TREE_CACHE.get(key)
     if t is None:
@@ -76,6 +80,7 @@ def _tree(model: Model) -> _Tree:
             lvl_jd.append(np.array([model.jdof[i] for i in lvl], np.int32))
         t = _Tree(jb, is_rev, tuple(lvl_b), tuple(lvl_p), tuple(lvl_jd))
         _TREE_CACHE[key] = t
+        weakref.finalize(model, _TREE_CACHE.pop, key, None)
     return t
 
 

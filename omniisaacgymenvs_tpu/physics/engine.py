@@ -141,6 +141,57 @@ class PhysicsEngine:
             return fused.fk(q, qd), (True,) * 4
 
         self._fused_fk_cv = fk_cv
+        self._fused = fused
+        self._fused_h = h
+        self._fused_step_cvs = {}
+
+    def _get_fused_step_cv(self, n_steps: int):
+        """custom_vmap over a WHOLE control step (n_steps substeps + report
+        FK in one kernel call); cached per static substep count."""
+        cv = self._fused_step_cvs.get(n_steps)
+        if cv is not None:
+            return cv
+        m = self.model
+        eng = self
+        h = self._fused_h
+        fused = self._fused
+
+        from jax.custom_batching import custom_vmap
+
+        @custom_vmap
+        def step_cv(q, qd, effort, pos_target, vel_target, f_applied):
+            ctrl = Control(
+                effort=effort, pos_target=pos_target, vel_target=vel_target,
+                body_force=jnp.zeros((m.nb, 3)),
+                body_torque=jnp.zeros((m.nb, 3)),
+            )
+
+            def body(carry, _):
+                q, qd, _sf = carry
+                return eng._substep(q, qd, ctrl, f_applied, h), None
+
+            init = (q, qd, jnp.zeros((max(m.num_sensors, 0), 6)))
+            (q, qd, sf), _ = jax.lax.scan(body, init, None, length=n_steps)
+            st = eng._report_xla(q, qd, sf)
+            return (q, qd, sf, st.body_pos, st.body_quat, st.body_avel,
+                    st.body_lvel)
+
+        @step_cv.def_vmap
+        def _step_vmap(axis_size, in_batched, q, qd, e, p, v, fa):
+            def bc(x, b, shape):
+                return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
+
+            q = bc(q, in_batched[0], (m.nq,))
+            qd = bc(qd, in_batched[1], (m.nv,))
+            e = bc(e, in_batched[2], (m.njd,))
+            p = bc(p, in_batched[3], (m.njd,))
+            v = bc(v, in_batched[4], (m.njd,))
+            fa = bc(fa, in_batched[5], (m.nb, 6))
+            out = fused.step(q, qd, e, p, v, fa, n_steps)
+            return out, (True,) * 7
+
+        self._fused_step_cvs[n_steps] = step_cv
+        return step_cv
 
     # ------------------------------------------------------------------
     def default_control(self) -> Control:
@@ -262,19 +313,16 @@ class PhysicsEngine:
         use_fused = self._fused_cv is not None and overlay is None
 
         if use_fused:
-            def body_f(carry, _):
-                q, qd, _sf = carry
-                out = self._fused_cv(
-                    q, qd, control.effort, control.pos_target,
-                    control.vel_target, f_applied,
-                )
-                return out, None
-
-            init = (state.q, state.qd, jnp.zeros((m.num_sensors, 6)))
-            (q, qd, sf), _ = jax.lax.scan(
-                body_f, init, None, length=n * self.params.substeps
+            q, qd, sf, pos, quat, avel, lvel = self._get_fused_step_cv(
+                n * self.params.substeps
+            )(
+                state.q, state.qd, control.effort, control.pos_target,
+                control.vel_target, f_applied,
             )
-            return self._report(q, qd, sf)  # fused FK kernel
+            return State(
+                q=q, qd=qd, body_pos=pos, body_quat=quat,
+                body_lvel=lvel, body_avel=avel, sensor_forces=sf,
+            )
 
         def body(carry, _):
             q, qd, _sf = carry
