@@ -108,6 +108,9 @@ def main(argv=None):
                 os.path.join(run_dir, "trace") if profile_epochs else None
             ),
             profile_epochs=profile_epochs,
+            # epochs per XLA program: amortizes the tunneled runtime's fixed
+            # per-dispatch cost; checkpoints land at chunk boundaries
+            epochs_per_jit=int(cfg.get("epochs_per_jit", 10)),
         )
     finally:
         writer.close()

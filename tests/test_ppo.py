@@ -39,3 +39,24 @@ def test_ppo_epoch_is_finite_and_improves_early():
         assert np.isfinite(h["kl"])
     # learning signal: later mean step reward above initial
     assert hist[-1]["mean_step_reward"] > hist[0]["mean_step_reward"]
+
+
+def test_chunked_epochs_match_single():
+    """epochs_per_jit>1 (lax.scan over the epoch body) must reproduce the
+    per-epoch metrics of the sequential path."""
+    env = VecEnv(get_task("Cartpole"), 16)
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=256, mini_epochs=2,
+        reward_shaper_scale=0.1, units=(32, 32),
+    )
+    h1 = PPOTrainer(env, cfg, seed=3).train(
+        max_epochs=6, log_every=1, log_fn=None
+    )
+    h2 = PPOTrainer(env, cfg, seed=3).train(
+        max_epochs=6, log_every=1, log_fn=None, epochs_per_jit=3
+    )
+    assert len(h1) == len(h2) == 6
+    for a, b in zip(h1, h2):
+        assert a["epoch"] == b["epoch"]
+        assert abs(a["mean_ep_reward"] - b["mean_ep_reward"]) < 1e-2
+        assert abs(a["kl"] - b["kl"]) < 1e-3
