@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
 import jax
@@ -20,6 +21,14 @@ def build_env_from_cli(argv=None):
     `pipeline=cpu` forces the CPU backend (reference cfg/config.yaml:19-27
     pipeline/sim_device semantics; default is the TPU platform)."""
     overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    # multi-host: distributed=True (or a set JAX_COORDINATOR_ADDRESS) runs
+    # jax.distributed.initialize() so the ('env',) mesh spans all hosts'
+    # devices over ICI/DCN (SURVEY.md §2.4 — the reference has no multi-GPU
+    # path at all; here env-axis GSPMD subsumes it)
+    if overrides.pop("distributed", False) or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    ):
+        jax.distributed.initialize()
     pipeline = str(overrides.pop("pipeline", "tpu")).lower()
     if pipeline == "cpu":
         jax.config.update("jax_platforms", "cpu")
