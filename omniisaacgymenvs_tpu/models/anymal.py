@@ -32,7 +32,13 @@ def _default_kfe(sx):
     return -0.8 * sx
 
 
-def build_anymal(spawn_height: float = 0.62):
+def build_anymal(spawn_height: float = 0.62, drive: dict | None = None):
+    """drive: optional override of the PD drive constants (stiffness,
+    drive_damping, max_effort) — AnymalTerrain runs its explicit in-loop PD
+    law tau = clip(Kp(targets-q) - Kd qd, +-80) (reference
+    tasks/anymal_terrain.py:309-316) through the engine's per-substep drive
+    evaluation by authoring those gains as the model drives."""
+    drv = dict(_DRIVE) if drive is None else dict(drive)
     b = ModelBuilder("Anymal")
 
     m, com, I = BodyGeoms(470.0).box((0, 0, 0), (0.265, 0.15, 0.12)).finalize()
@@ -49,7 +55,7 @@ def build_anymal(spawn_height: float = 0.62):
             joint_axis=(1, 0, 0), joint_pos=(0.277 * sx, 0.116 * sy, 0.0),
             limit=(-0.8, 0.8), default_q=_default_haa(sy),
             mass=m, com=com, inertia=I,
-            armature=0.05, damping=0.0, max_velocity=20.0, **_DRIVE,
+            armature=0.05, damping=0.0, max_velocity=20.0, **drv,
         )
 
     thighs = {}
@@ -61,7 +67,7 @@ def build_anymal(spawn_height: float = 0.62):
             joint_axis=(0, 1, 0), joint_pos=(0.06 * sx, 0.08 * sy, 0.0),
             limit=(-2.2, 2.2), default_q=_default_hfe(sx),
             mass=m, com=com, inertia=I,
-            armature=0.05, damping=0.0, max_velocity=20.0, **_DRIVE,
+            armature=0.05, damping=0.0, max_velocity=20.0, **drv,
         )
 
     for name, sx, sy in _LEGS:
@@ -74,7 +80,7 @@ def build_anymal(spawn_height: float = 0.62):
             joint_axis=(0, 1, 0), joint_pos=(0.0, 0.03 * sy, -0.25),
             limit=(-2.5, 2.5), default_q=_default_kfe(sx),
             mass=m, com=com, inertia=I,
-            armature=0.05, damping=0.0, max_velocity=20.0, **_DRIVE,
+            armature=0.05, damping=0.0, max_velocity=20.0, **drv,
         )
         b.add_sphere_collider(shank, foot, 0.035)
         # knee contact point (terrain task knee-contact termination,

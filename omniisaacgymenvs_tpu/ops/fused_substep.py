@@ -2,18 +2,22 @@
 
 The level-batched XLA path (physics/dynamics.py) leaves ~500 small ops per
 substep whose intermediates round-trip HBM. This kernel fuses the entire
-substep — forward kinematics, plane contacts, joint drives, the
-articulated-body algorithm, and semi-implicit integration — into one
-Pallas program: per-env state lives in VMEM/vector registers, the env axis
-rides the (8, 128) VPU lanes, and every model constant (tree structure,
-inertias, joint frames, drive gains, contact points) is baked into the
-trace as scalar literals.
+substep — forward kinematics, contacts, joint drives, the articulated-body
+algorithm, and semi-implicit integration — into one Pallas program: per-env
+state lives in VMEM/vector registers, the env axis rides the (8, 128) VPU
+lanes, and every model constant (tree structure, inertias, joint frames,
+drive gains, contact geometry) is baked into the trace as scalar literals.
 
-Scope (auto-detected by the engine): one FREE root at body 0, 1-dof
-revolute/prismatic joints, plane ground contact, PD + effort control —
-this covers the throughput-critical locomotion tasks (Ant, Humanoid,
-Anymal). Other scene features (forests, pair contacts, heightfields,
-gravity compensation, applied body forces) fall back to the XLA path.
+Scope (auto-detected by the engine): FORESTS of articulations with FREE
+and/or FIXED roots, 1-dof revolute/prismatic joints, plane/heightfield
+ground contact, cross-tree pairwise contacts (point vs sphere/capsule/box
+receiver surfaces), gravity compensation, PD + effort control, applied
+body forces. This covers every task in the suite (locomotion, hands,
+Franka+Cabinet, BallBalance, flyers, terrain). Heightfields enter as a
+per-contact-point local plane (height + gradient sampled once per control
+step outside the kernel — an XLA gather — and frozen across the substeps
+of one control step; feet move O(mm) per control step so the local plane
+is an excellent approximation of the bilinear field).
 
 The kernel is exposed through jax.custom_batching.custom_vmap so the
 per-env engine code stays unchanged: under VecEnv's vmap, the batch hits
@@ -28,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from omniisaacgymenvs_tpu.physics.model import JointType, Model
+from omniisaacgymenvs_tpu.physics.model import JointType, Model, SurfaceType
 
 LANES = 128
 SUBLANES = 8
@@ -91,6 +95,15 @@ def _rodrigues(axis, s, c):
     ]
 
 
+def _quat_mat(w_, x_, y_, z_):
+    """World rotation matrix from wxyz quaternion scalars."""
+    return [
+        [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
+        [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - w_ * x_)],
+        [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_), 1 - 2 * (x_ * x_ + y_ * y_)],
+    ]
+
+
 def _m6x(M, x):
     return [sum(M[i][k] * x[k] for k in range(6)) for i in range(6)]
 
@@ -134,7 +147,24 @@ def _chol_solve6(A, b):
 
 
 def _mat_to_quat(R):
-    """Branch-free Shepperd rotmat -> wxyz quat on scalar entries."""
+    """Branch-free Shepperd rotmat -> wxyz quat on scalar entries. A fully
+    constant R (FIXED-root world pose) is computed in numpy and returned as
+    python floats so Mosaic never sees scalar-typed ops."""
+    if all(isinstance(x, (int, float)) for row in R for x in row):
+        def fsqrt(x):
+            return float(np.sqrt(max(x, 1e-12)))
+
+        tr = R[0][0] + R[1][1] + R[2][2]
+        qw = 0.5 * fsqrt(1.0 + tr)
+        qx = 0.5 * fsqrt(1.0 + R[0][0] - R[1][1] - R[2][2])
+        qy = 0.5 * fsqrt(1.0 - R[0][0] + R[1][1] - R[2][2])
+        qz = 0.5 * fsqrt(1.0 - R[0][0] - R[1][1] + R[2][2])
+        qx = float(np.copysign(qx, R[2][1] - R[1][2]))
+        qy = float(np.copysign(qy, R[0][2] - R[2][0]))
+        qz = float(np.copysign(qz, R[1][0] - R[0][1]))
+        n = float(np.sqrt(qw * qw + qx * qx + qy * qy + qz * qz + 1e-12))
+        return [qw / n, qx / n, qy / n, qz / n]
+
     def ssqrt(x):
         return jnp.sqrt(jnp.maximum(x, 1e-12))
 
@@ -151,29 +181,29 @@ def _mat_to_quat(R):
 
 
 def eligible(model: Model, engine) -> bool:
-    """Can the fused kernel simulate this scene?"""
-    return (
-        model.roots == (0,)
-        and model.jtype[0] == JointType.FREE
-        and len(model.pair_surf) == 0
-        and engine.height_fn is None
-        and not engine._has_gravity_comp
-        and model.njd >= 1
-    )
+    """Can the fused kernel simulate this scene? Forests, fixed/free roots,
+    pair contacts, gravity compensation and heightfields are all supported;
+    only dof-less scenes fall back to the XLA path."""
+    return model.njd >= 1
 
 
 # ---------------------------------------------------------------------------
 # kernel builder
 # ---------------------------------------------------------------------------
 
-def build_fused_substep(model: Model, h: float, gravity, contact):
-    """Returns batched_substep(q, qd, effort, pos_target, vel_target)
-    -> (q', qd', body_force_sensors) over a leading env axis."""
+def build_fused_substep(model: Model, h: float, gravity, contact,
+                        has_height: bool = False):
+    """Returns batched_substep(q, qd, effort, pos_target, vel_target,
+    f_applied, planes) -> (q', qd', body_force_sensors) over a leading env
+    axis. When has_height, `planes` carries (ncp, 3) [c0, gx, gy] per
+    ground contact point: surface z(x, y) = c0 + gx*x + gy*y."""
     nb, nq, nv, njd = model.nb, model.nq, model.nv, model.njd
 
     # -------- numpy model constants (baked into the trace) --------
     parents = model.parents
     jtypes = model.jtype
+    q_adr = model.q_adr
+    v_adr = model.v_adr
     axis_np = np.asarray(model.joint_axis, np.float64)
     Et_np = np.asarray(model.joint_Et, np.float64)
     rt_np = np.asarray(model.joint_pos, np.float64)
@@ -196,11 +226,21 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
     cp_pos = np.asarray(model.cp_pos, np.float64)
     cp_rad = np.asarray(model.cp_radius, np.float64)
     cp_mu = np.asarray(model.cp_friction, np.float64)
+    gc_np = np.asarray(model.gravity_comp, np.float64)
+    pair_pt = np.asarray(model.pair_point)
+    pair_sf = model.pair_surf
+    surf_type = model.surf_type
+    surf_body = model.surf_body
+    surf_params = model.surf_params
     sensors = model.sensor_body
+    free_roots = tuple(
+        i for i in model.roots if jtypes[i] == JointType.FREE
+    )
     gz = [float(g) for g in gravity]
     kn, kdn, kt = float(contact.kn), float(contact.kd), float(contact.kt)
     mu0, fn_max = float(contact.mu), float(contact.fn_max)
     d_impl = h * (kd + damping + h * kp)
+    ncp = cp_body.shape[0]
 
     # spatial inertia constants per body (6x6 floats)
     def spatial_I(i):
@@ -218,19 +258,15 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
 
     I6_const = [spatial_I(i) for i in range(nb)]
 
-    n_in = nq + nv + 3 * njd + 6 * nb
+    n_planes = 3 * ncp if has_height else 0
+    n_in = nq + nv + 3 * njd + 6 * nb + n_planes
     n_out = nq + nv + 6 * max(len(sensors), 1)
     n_fk_out = 13 * nb
 
     def fk_full(q, qd):
         """Forward kinematics on scalar fields (shared by the substep and
-        the post-integration report)."""
-        w_, x_, y_, z_ = q[3], q[4], q[5], q[6]
-        Rw0 = [
-            [1 - 2 * (y_ * y_ + z_ * z_), 2 * (x_ * y_ - w_ * z_), 2 * (x_ * z_ + w_ * y_)],
-            [2 * (x_ * y_ + w_ * z_), 1 - 2 * (x_ * x_ + z_ * z_), 2 * (y_ * z_ - w_ * x_)],
-            [2 * (x_ * z_ - w_ * y_), 2 * (y_ * z_ + w_ * x_), 1 - 2 * (x_ * x_ + y_ * y_)],
-        ]
+        the post-integration report). Supports forests of FREE/FIXED-root
+        trees (reference scenes with several actors per env)."""
         E = [None] * nb
         r = [None] * nb
         S = [None] * nb
@@ -239,10 +275,26 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         cbias = [None] * nb
         Rw = [None] * nb
         pw = [None] * nb
-        Rw[0] = Rw0
-        pw[0] = [q[0], q[1], q[2]]
-        v[0] = ([qd[0], qd[1], qd[2]], [qd[3], qd[4], qd[5]])
-        for i in range(1, nb):
+        for i in range(nb):
+            if parents[i] == -1:
+                if jtypes[i] == JointType.FREE:
+                    qa, va = q_adr[i], v_adr[i]
+                    Rw[i] = _quat_mat(q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6])
+                    pw[i] = [q[qa], q[qa + 1], q[qa + 2]]
+                    v[i] = (
+                        [qd[va], qd[va + 1], qd[va + 2]],
+                        [qd[va + 3], qd[va + 4], qd[va + 5]],
+                    )
+                else:  # FIXED root: constant world pose, zero velocity —
+                    # python floats so downstream subtrees constant-fold
+                    Rw[i] = [
+                        [float(Et_np[i][c_][r_]) for c_ in range(3)]
+                        for r_ in range(3)
+                    ]
+                    pw[i] = [float(x) for x in rt_np[i]]
+                    v[i] = ([0.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+                cbias[i] = ([0.0, 0.0, 0.0], [0.0, 0.0, 0.0])
+                continue
             p = parents[i]
             jd = jdof[i]
             th = q[int(jq_np[jd])]
@@ -284,7 +336,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         return E, r, S, vJ, v, cbias, Rw, pw, wv, lv
 
     def fk_outputs(q, qd):
-        """13*nb report fields: pos(3), quat(4), avel(3), lvel(3) per body."""
+        """13*nb report fields: pos(3), quat(4), avel(3), lvel(3) per body.
+        Entries for FIXED roots are python-float constants — callers
+        materialize them onto the field shape when writing out."""
         _, _, _, _, _, _, Rw, pw, wv, lv = fk_full(q, qd)
         outs = []
         for i in range(nb):
@@ -297,6 +351,20 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
             outs += lv[i]
         return outs
 
+    def _contact_force_scalar(pen, n, vrel, mu):
+        """Compliant Hunt-Crossley normal + capped viscous friction on
+        scalar fields (mirrors physics/contacts.py _contact_force)."""
+        vn = _dot(vrel, n)
+        vt = [vrel[k] - vn * n[k] for k in range(3)]
+        fn = jnp.minimum(
+            kn * jnp.maximum(pen, 0.0) * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
+            fn_max,
+        )
+        vt_norm = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2] + 1e-12)
+        ft_mag = jnp.minimum(mu * fn, kt * vt_norm)
+        scale_t = ft_mag / (vt_norm + 1e-6)
+        return [fn * n[k] - scale_t * vt[k] for k in range(3)]
+
     def substep_math(ins):
         """The full substep on a list of n_in scalar-field arrays; returns
         the n_out output fields. Pure — testable without Pallas."""
@@ -306,41 +374,140 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         ptg = [ins[nq + nv + njd + i] for i in range(njd)]
         vtg = [ins[nq + nv + 2 * njd + i] for i in range(njd)]
         fa0 = nq + nv + 3 * njd  # applied world wrench [t(3), f(3)] per body
+        hp0 = fa0 + 6 * nb       # heightfield planes [c0, gx, gy] per point
 
         E, r, S, vJ, v, cbias, Rw, pw, wv, lv = fk_full(q, qd)
 
-        # ---------------- plane contacts ----------------
+        # ---------------- ground contacts (plane / heightfield) -----------
         zero = q[0] * 0.0
         fx = [[zero, zero, zero] for _ in range(nb)]   # world force per body
         tx = [[zero, zero, zero] for _ in range(nb)]   # world torque per body
         # applied external wrenches (Control.body_force/torque)
         fapp = [[ins[fa0 + 6 * b + 3 + k] for k in range(3)] for b in range(nb)]
         tapp = [[ins[fa0 + 6 * b + k] for k in range(3)] for b in range(nb)]
-        for k in range(cp_body.shape[0]):
+        for k in range(ncp):
             b = int(cp_body[k])
             lp_ = [float(x) for x in cp_pos[k]]
             pt = _vadd(pw[b], _m3x(Rw[b], lp_))
-            pen = float(cp_rad[k]) - pt[2]
             rel = _vsub(pt, pw[b])
             vpt = _vadd(lv[b], _cross(wv[b], rel))
-            vn = vpt[2]
-            fn = jnp.minimum(
-                kn * jnp.maximum(pen, 0.0)
-                * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
-                fn_max,
-            )
-            vt0, vt1 = vpt[0], vpt[1]
-            vt_norm = jnp.sqrt(vt0 * vt0 + vt1 * vt1 + 1e-12)
-            ft_mag = jnp.minimum(mu0 * float(cp_mu[k]) * fn, kt * vt_norm)
-            scale_t = ft_mag / (vt_norm + 1e-6)
-            f = [-scale_t * vt0, -scale_t * vt1, fn]
+            if has_height:
+                c0, gx, gy = ins[hp0 + 3 * k], ins[hp0 + 3 * k + 1], ins[hp0 + 3 * k + 2]
+                h_at = c0 + gx * pt[0] + gy * pt[1]
+                pen = float(cp_rad[k]) - (pt[2] - h_at)
+                Linv = 1.0 / jnp.sqrt(1.0 + gx * gx + gy * gy)
+                n_ = [-gx * Linv, -gy * Linv, Linv]
+                f = _contact_force_scalar(pen, n_, vpt, mu0 * float(cp_mu[k]))
+            else:
+                pen = float(cp_rad[k]) - pt[2]
+                vn = vpt[2]
+                fn = jnp.minimum(
+                    kn * jnp.maximum(pen, 0.0)
+                    * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
+                    fn_max,
+                )
+                vt0, vt1 = vpt[0], vpt[1]
+                vt_norm = jnp.sqrt(vt0 * vt0 + vt1 * vt1 + 1e-12)
+                ft_mag = jnp.minimum(mu0 * float(cp_mu[k]) * fn, kt * vt_norm)
+                scale_t = ft_mag / (vt_norm + 1e-6)
+                f = [-scale_t * vt0, -scale_t * vt1, fn]
             n = _cross(rel, f)
             fx[b] = _vadd(fx[b], f)
             tx[b] = _vadd(tx[b], n)
 
-        # total external wrench for dynamics = contact + applied
+        # ---------------- pairwise contacts (point vs other-tree surface) --
+        # mirrors physics/contacts.py pair_contacts: static candidate list,
+        # equal/opposite forces on point body and surface body
+        for pk in range(pair_pt.shape[0]):
+            pi = int(pair_pt[pk])
+            si = int(pair_sf[pk])
+            stype = SurfaceType(surf_type[si])
+            sb = int(surf_body[si])
+            prm = [float(x) for x in surf_params[si]]
+            pb = int(cp_body[pi])
+            lp_ = [float(x) for x in cp_pos[pi]]
+            pt_w = _vadd(pw[pb], _m3x(Rw[pb], lp_))
+            v_pt = _vadd(lv[pb], _cross(wv[pb], _vsub(pt_w, pw[pb])))
+
+            if stype == SurfaceType.SPHERE:
+                c_w = _vadd(pw[sb], _m3x(Rw[sb], prm[0:3]))
+                d = _vsub(pt_w, c_w)
+                dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                n_ = [d[k] / (dist + 1e-9) for k in range(3)]
+                pen = prm[3] + float(cp_rad[pi]) - dist
+                v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(pt_w, pw[sb])))
+            elif stype == SurfaceType.CAPSULE:
+                p0 = _vadd(pw[sb], _m3x(Rw[sb], prm[0:3]))
+                p1 = _vadd(pw[sb], _m3x(Rw[sb], prm[3:6]))
+                seg = _vsub(p1, p0)
+                t_ = jnp.clip(
+                    _dot(_vsub(pt_w, p0), seg) / (_dot(seg, seg) + 1e-9),
+                    0.0, 1.0,
+                )
+                c_w = _vadd(p0, _vscale(seg, t_))
+                d = _vsub(pt_w, c_w)
+                dist = jnp.sqrt(_dot(d, d) + 1e-18)
+                n_ = [d[k] / (dist + 1e-9) for k in range(3)]
+                pen = prm[6] + float(cp_rad[pi]) - dist
+                v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(c_w, pw[sb])))
+            else:  # BOX
+                center, half, bq = prm[0:3], prm[3:6], prm[6:10]
+                Rq = _quat_mat(bq[0], bq[1], bq[2], bq[3])  # floats
+                R_box = _m3m(Rw[sb], Rq)                    # box -> world
+                c_w = _vadd(pw[sb], _m3x(Rw[sb], center))
+                dloc = _vsub(pt_w, c_w)
+                p_l = _m3x(_m3t(R_box), dloc)               # world -> box
+                clamped = [
+                    jnp.clip(p_l[k], -half[k], half[k]) for k in range(3)
+                ]
+                d_out = _vsub(p_l, clamped)
+                dist_out = jnp.sqrt(_dot(d_out, d_out) + 1e-18)
+                outside = dist_out > 1e-9
+                n_out = [d_out[k] / (dist_out + 1e-9) for k in range(3)]
+                face_d = [half[k] - jnp.abs(p_l[k]) for k in range(3)]
+                min_d = jnp.minimum(face_d[0], jnp.minimum(face_d[1], face_d[2]))
+                is0 = face_d[0] <= jnp.minimum(face_d[1], face_d[2])
+                is1 = jnp.logical_and(
+                    jnp.logical_not(is0), face_d[1] <= face_d[2]
+                )
+                n_in_l = [
+                    jnp.where(is0, jnp.sign(p_l[0]), 0.0),
+                    jnp.where(is1, jnp.sign(p_l[1]), 0.0),
+                    jnp.where(
+                        jnp.logical_or(is0, is1), 0.0, jnp.sign(p_l[2])
+                    ),
+                ]
+                pen_in = -min_d
+                n_l = [
+                    jnp.where(outside, n_out[k], n_in_l[k]) for k in range(3)
+                ]
+                pen = jnp.where(
+                    outside,
+                    float(cp_rad[pi]) - dist_out,
+                    float(cp_rad[pi]) - pen_in,
+                )
+                n_ = _m3x(R_box, n_l)
+                v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(pt_w, pw[sb])))
+
+            vrel = _vsub(v_pt, v_sf)
+            f = _contact_force_scalar(pen, n_, vrel, mu0 * float(cp_mu[pi]))
+            fx[pb] = _vadd(fx[pb], f)
+            tx[pb] = _vadd(tx[pb], _cross(_vsub(pt_w, pw[pb]), f))
+            fx[sb] = _vsub(fx[sb], f)
+            tx[sb] = _vsub(tx[sb], _cross(_vsub(pt_w, pw[sb]), f))
+
+        # total external wrench for dynamics = contact + applied (+ gravity
+        # compensation: counter-gravity at each compensated body's CoM,
+        # reference shadow_hand.py set_shadow_hand_properties DisableGravity)
         fx_tot = [_vadd(fx[b], fapp[b]) for b in range(nb)]
         tx_tot = [_vadd(tx[b], tapp[b]) for b in range(nb)]
+        for b in range(nb):
+            if gc_np[b] == 0.0:
+                continue
+            fg = [-gc_np[b] * mass_np[b] * gz[k] for k in range(3)]  # floats
+            com_w_rel = _m3x(Rw[b], [float(x) for x in com_np[b]])
+            fx_tot[b] = _vadd(fx_tot[b], fg)
+            tx_tot[b] = _vadd(tx_tot[b], _cross(com_w_rel, fg))
 
         # ---------------- drives ----------------
         tau = [None] * njd
@@ -384,7 +551,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         U = [None] * nb
         D = [None] * nb
         uu = [None] * nb
-        for i in range(nb - 1, 0, -1):
+        for i in reversed(range(nb)):
+            if parents[i] == -1:
+                continue
             p = parents[i]
             jd = jdof[i]
             Sw, Sl = S[i]
@@ -395,6 +564,11 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
                 + float(armature[jd]) + float(d_impl[jd])
             )
             ui = tau[jd] - sum(S6[k] * pA[i][k] for k in range(6) if S6[k] != 0.0)
+            U[i], D[i], uu[i] = Ui, Di, ui
+            if parents[p] == -1 and jtypes[p] != JointType.FREE:
+                # parent is a FIXED root: its articulated inertia is never
+                # consumed (no root solve) — skip the 6x6 accumulation
+                continue
             invD = 1.0 / Di
             Ia = [
                 [IA[i][r_][c_] - Ui[r_] * Ui[c_] * invD for c_ in range(6)]
@@ -427,26 +601,33 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
             Xtpa = _m6x(Xt, pa)
             for k in range(6):
                 pA[p][k] = pA[p][k] + Xtpa[k]
-            U[i], D[i], uu[i] = Ui, Di, ui
 
-        # root: a_world = [0; -g]; a0p = X0(a_world)
+        # roots: a_world = [0; -g]; a0p = Xroot(a_world); FREE roots solve
+        # their 6x6 articulated inertia, FIXED roots just transmit gravity
         g6 = [0.0, 0.0, 0.0, -gz[0], -gz[1], -gz[2]]
-        E0 = _m3t(Rw[0])
-        r0 = pw[0]
-        a0p_w = _m3x(E0, g6[0:3])
-        a0p_l = _m3x(E0, _vsub(g6[3:6], _cross(r0, g6[0:3])))
-        a0p = [a0p_w[0], a0p_w[1], a0p_w[2], a0p_l[0], a0p_l[1], a0p_l[2]]
-        rhs = [
-            -(pA[0][k] + sum(IA[0][k][j] * a0p[j] for j in range(6)))
-            for k in range(6)
-        ]
-        qdd0 = _chol_solve6(IA[0], rhs)
         a = [None] * nb
-        a[0] = [a0p[k] + qdd0[k] for k in range(6)]
         qdd = [None] * nv
-        for k in range(6):
-            qdd[k] = qdd0[k]
-        for i in range(1, nb):
+        for i in model.roots:
+            E0 = _m3t(Rw[i])
+            r0 = pw[i]
+            a0p_w = _m3x(E0, g6[0:3])
+            a0p_l = _m3x(E0, _vsub(g6[3:6], _cross(r0, g6[0:3])))
+            a0p = [a0p_w[0], a0p_w[1], a0p_w[2], a0p_l[0], a0p_l[1], a0p_l[2]]
+            if jtypes[i] == JointType.FREE:
+                va = v_adr[i]
+                rhs = [
+                    -(pA[i][k] + sum(IA[i][k][j] * a0p[j] for j in range(6)))
+                    for k in range(6)
+                ]
+                qdd0 = _chol_solve6(IA[i], rhs)
+                for k in range(6):
+                    qdd[va + k] = qdd0[k]
+                a[i] = [a0p[k] + qdd0[k] for k in range(6)]
+            else:
+                a[i] = a0p
+        for i in range(nb):
+            if parents[i] == -1:
+                continue
             p = parents[i]
             jd = jdof[i]
             Ei, ri = E[i], r[i]
@@ -466,11 +647,13 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
 
         # ---------------- integrate ----------------
         qd_new = [qd[k] + h * qdd[k] for k in range(nv)]
-        # root velocity caps
-        for k in range(3):
-            qd_new[k] = jnp.clip(qd_new[k], -64.0, 64.0)
-        for k in range(3, 6):
-            qd_new[k] = jnp.clip(qd_new[k], -1000.0, 1000.0)
+        # free-root velocity caps (PhysX maxAngular/LinearVelocity defaults)
+        for i in free_roots:
+            va = v_adr[i]
+            for k in range(3):
+                qd_new[va + k] = jnp.clip(qd_new[va + k], -64.0, 64.0)
+            for k in range(3, 6):
+                qd_new[va + k] = jnp.clip(qd_new[va + k], -1000.0, 1000.0)
         q_new = list(q)
         for jd in range(njd):
             vi = int(jv_np[jd])
@@ -484,26 +667,29 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
             qjd_ = jnp.where(hit_lb, jnp.maximum(qjd_, 0.0), qjd_)
             q_new[qi] = qj_
             qd_new[vi] = qjd_
-        # root pose
-        om = qd_new[0:3]
-        vel_b = qd_new[3:6]
-        dp = _m3x(Rw[0], vel_b)
-        for k in range(3):
-            q_new[k] = q[k] + h * dp[k]
-        # quat: q' = q * exp(om*h/2)
-        hx, hy, hz = om[0] * (h / 2), om[1] * (h / 2), om[2] * (h / 2)
-        ang = jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-24)
-        sa = jnp.sin(ang) / ang
-        ew, ex, ey, ez = jnp.cos(ang), sa * hx, sa * hy, sa * hz
-        w_, x_, y_, z_ = q[3], q[4], q[5], q[6]
-        nw = w_ * ew - x_ * ex - y_ * ey - z_ * ez
-        nx = w_ * ex + x_ * ew + y_ * ez - z_ * ey
-        ny = w_ * ey - x_ * ez + y_ * ew + z_ * ex
-        nz = w_ * ez + x_ * ey - y_ * ex + z_ * ew
-        norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz + 1e-12)
-        q_new[3], q_new[4], q_new[5], q_new[6] = (
-            nw / norm, nx / norm, ny / norm, nz / norm,
-        )
+        # free-root pose updates
+        for i in free_roots:
+            qa, va = q_adr[i], v_adr[i]
+            om = qd_new[va : va + 3]
+            vel_b = qd_new[va + 3 : va + 6]
+            dp = _m3x(Rw[i], vel_b)  # fk already built Rw for this root
+            for k in range(3):
+                q_new[qa + k] = q[qa + k] + h * dp[k]
+            # quat: q' = q * exp(om*h/2)
+            hx, hy, hz = om[0] * (h / 2), om[1] * (h / 2), om[2] * (h / 2)
+            ang = jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-24)
+            sa = jnp.sin(ang) / ang
+            ew, ex, ey, ez = jnp.cos(ang), sa * hx, sa * hy, sa * hz
+            w_, x_, y_, z_ = q[qa + 3], q[qa + 4], q[qa + 5], q[qa + 6]
+            nw = w_ * ew - x_ * ex - y_ * ey - z_ * ez
+            nx = w_ * ex + x_ * ew + y_ * ez - z_ * ey
+            ny = w_ * ey - x_ * ez + y_ * ew + z_ * ex
+            nz = w_ * ez + x_ * ey - y_ * ex + z_ * ew
+            norm = jnp.sqrt(nw * nw + nx * nx + ny * ny + nz * nz + 1e-12)
+            q_new[qa + 3] = nw / norm
+            q_new[qa + 4] = nx / norm
+            q_new[qa + 5] = ny / norm
+            q_new[qa + 6] = nz / norm
 
         # ---------------- outputs ----------------
         outs = list(q_new) + list(qd_new)
@@ -520,25 +706,33 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         for k in range(n_out):
             out_ref[k] = outs[k]
 
-    # ------------------------------------------------------------------
-    def batched(q, qd, effort, pos_target, vel_target, f_applied):
-        """f_applied: (N, nb, 6) world wrench [torque, force] per body."""
+    def _pack_inputs(q, qd, effort, pos_target, vel_target, f_applied,
+                     planes, npad, nt):
         N = q.shape[0]
-        npad = -(-N // TILE) * TILE
-        nt = npad // LANES
 
         def pack(x, d):
             x = jnp.pad(x, ((0, npad - N), (0, 0)))
             return x.T.reshape(d, nt, LANES)
 
-        data = jnp.concatenate(
-            [
-                pack(q, nq), pack(qd, nv), pack(effort, njd),
-                pack(pos_target, njd), pack(vel_target, njd),
-                pack(f_applied.reshape(N, 6 * nb), 6 * nb),
-            ],
-            axis=0,
-        )
+        parts = [
+            pack(q, nq), pack(qd, nv), pack(effort, njd),
+            pack(pos_target, njd), pack(vel_target, njd),
+            pack(f_applied.reshape(N, 6 * nb), 6 * nb),
+        ]
+        if has_height:
+            parts.append(pack(planes.reshape(N, 3 * ncp), 3 * ncp))
+        return jnp.concatenate(parts, axis=0)
+
+    # ------------------------------------------------------------------
+    def batched(q, qd, effort, pos_target, vel_target, f_applied,
+                planes=None):
+        """f_applied: (N, nb, 6) world wrench [torque, force] per body;
+        planes: (N, ncp, 3) heightfield local planes (has_height only)."""
+        N = q.shape[0]
+        npad = -(-N // TILE) * TILE
+        nt = npad // LANES
+        data = _pack_inputs(q, qd, effort, pos_target, vel_target,
+                            f_applied, planes, npad, nt)
         out = pl.pallas_call(
             kernel,
             grid=(npad // TILE,),
@@ -569,8 +763,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
         q = [in_ref[i] for i in range(nq)]
         qd = [in_ref[nq + i] for i in range(nv)]
         outs = fk_outputs(q, qd)
+        zero = in_ref[0] * 0.0
         for k in range(n_fk_out):
-            out_ref[k] = outs[k]
+            out_ref[k] = zero + outs[k]
 
     def batched_fk(q, qd):
         """Fused report FK: (N,nq),(N,nv) -> world pos/quat/avel/lvel."""
@@ -640,31 +835,20 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
                     [st[nq + i] for i in range(nv)],
                 )
                 for k in range(n_fk_out):
-                    out_ref[n_out + k] = fk[k]
+                    out_ref[n_out + k] = zero + fk[k]
 
             _step_kernels[n_steps] = kern
         return kern
 
     def batched_step(q, qd, effort, pos_target, vel_target, f_applied,
-                     n_steps: int, interpret: bool = False):
+                     n_steps: int, planes=None, interpret: bool = False):
         """(N,·) state/control -> (q', qd', sensor_forces, body_pos,
         body_quat, body_avel, body_lvel) after n_steps fused substeps."""
         N = q.shape[0]
         npad = -(-N // TILE) * TILE
         nt = npad // LANES
-
-        def pack(x, d):
-            x = jnp.pad(x, ((0, npad - N), (0, 0)))
-            return x.T.reshape(d, nt, LANES)
-
-        data = jnp.concatenate(
-            [
-                pack(q, nq), pack(qd, nv), pack(effort, njd),
-                pack(pos_target, njd), pack(vel_target, njd),
-                pack(f_applied.reshape(N, 6 * nb), 6 * nb),
-            ],
-            axis=0,
-        )
+        data = _pack_inputs(q, qd, effort, pos_target, vel_target,
+                            f_applied, planes, npad, nt)
         out = pl.pallas_call(
             _step_kernel(n_steps),
             grid=(npad // TILE,),
@@ -702,4 +886,6 @@ def build_fused_substep(model: Model, h: float, gravity, contact):
     batched.step = batched_step
     batched.n_in = n_in
     batched.n_out = n_out
+    batched.has_height = has_height
+    batched.ncp = ncp
     return batched

@@ -93,16 +93,21 @@ class PhysicsEngine:
         if not on_tpu or not _fs.eligible(self.model, self):
             return
         h = self.params.dt / self.params.substeps
+        self._has_height = self.height_fn is not None
         fused = _fs.build_fused_substep(
-            self.model, h, self.params.gravity, self.contact_params
+            self.model, h, self.params.gravity, self.contact_params,
+            has_height=self._has_height,
         )
         m = self.model
         eng = self
+        ncp = int(m.cp_body.shape[0])
+        self._ncp = ncp
 
         from jax.custom_batching import custom_vmap
 
         @custom_vmap
-        def substep_cv(q, qd, effort, pos_target, vel_target, f_applied):
+        def substep_cv(q, qd, effort, pos_target, vel_target, f_applied,
+                       planes):
             ctrl = Control(
                 effort=effort, pos_target=pos_target, vel_target=vel_target,
                 body_force=jnp.zeros((m.nb, 3)),
@@ -111,7 +116,7 @@ class PhysicsEngine:
             return eng._substep(q, qd, ctrl, f_applied, h)
 
         @substep_cv.def_vmap
-        def _substep_vmap(axis_size, in_batched, q, qd, e, p, v, fa):
+        def _substep_vmap(axis_size, in_batched, q, qd, e, p, v, fa, pl_):
             def bc(x, b, shape):
                 return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
 
@@ -121,7 +126,8 @@ class PhysicsEngine:
             p = bc(p, in_batched[3], (m.njd,))
             v = bc(v, in_batched[4], (m.njd,))
             fa = bc(fa, in_batched[5], (m.nb, 6))
-            out = fused(q, qd, e, p, v, fa)
+            pl_ = bc(pl_, in_batched[6], (ncp, 3))
+            out = fused(q, qd, e, p, v, fa, pl_)
             return out, (True, True, True)
 
         self._fused_cv = substep_cv
@@ -158,8 +164,11 @@ class PhysicsEngine:
 
         from jax.custom_batching import custom_vmap
 
+        ncp = self._ncp
+
         @custom_vmap
-        def step_cv(q, qd, effort, pos_target, vel_target, f_applied):
+        def step_cv(q, qd, effort, pos_target, vel_target, f_applied,
+                    planes):
             ctrl = Control(
                 effort=effort, pos_target=pos_target, vel_target=vel_target,
                 body_force=jnp.zeros((m.nb, 3)),
@@ -177,7 +186,7 @@ class PhysicsEngine:
                     st.body_lvel)
 
         @step_cv.def_vmap
-        def _step_vmap(axis_size, in_batched, q, qd, e, p, v, fa):
+        def _step_vmap(axis_size, in_batched, q, qd, e, p, v, fa, pl_):
             def bc(x, b, shape):
                 return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
 
@@ -187,7 +196,8 @@ class PhysicsEngine:
             p = bc(p, in_batched[3], (m.njd,))
             v = bc(v, in_batched[4], (m.njd,))
             fa = bc(fa, in_batched[5], (m.nb, 6))
-            out = fused.step(q, qd, e, p, v, fa, n_steps)
+            pl_ = bc(pl_, in_batched[6], (ncp, 3))
+            out = fused.step(q, qd, e, p, v, fa, n_steps, planes=pl_)
             return out, (True,) * 7
 
         self._fused_step_cvs[n_steps] = step_cv
@@ -237,6 +247,28 @@ class PhysicsEngine:
         if qd is None:
             qd = jnp.zeros(m.nv)
         return self._report(q, qd, jnp.zeros((max(m.num_sensors, 0), 6)))
+
+    # ------------------------------------------------------------------
+    def _contact_planes(self, state: State) -> jax.Array:
+        """Per-contact-point heightfield local plane [c0, gx, gy] with
+        surface z(x, y) = c0 + gx*x + gy*y, sampled at the control-step-start
+        contact point positions. The fused kernel freezes these planes over
+        the substeps of one control step (ops/fused_substep.py): feet move
+        O(mm) per control step so the local plane tracks the bilinear field.
+        Returns zeros when there is no heightfield (flat ground z=0)."""
+        m = self.model
+        ncp = int(m.cp_body.shape[0])
+        if self.height_fn is None or ncp == 0:
+            return jnp.zeros((ncp, 3))
+        cb = m.cp_body
+        R = rot.quat_to_rotmat(state.body_quat[cb])
+        pt = state.body_pos[cb] + jnp.einsum("cij,cj->ci", R, m.cp_pos)
+        h, n = self.height_fn(pt[..., 0], pt[..., 1])
+        nz = jnp.maximum(n[..., 2], 1e-3)
+        gx = -n[..., 0] / nz
+        gy = -n[..., 1] / nz
+        c0 = h - gx * pt[..., 0] - gy * pt[..., 1]
+        return jnp.stack([c0, gx, gy], axis=-1)
 
     # ------------------------------------------------------------------
     def _substep(self, q, qd, control: Control, f_applied, h, overlay=None):
@@ -317,7 +349,7 @@ class PhysicsEngine:
                 n * self.params.substeps
             )(
                 state.q, state.qd, control.effort, control.pos_target,
-                control.vel_target, f_applied,
+                control.vel_target, f_applied, self._contact_planes(state),
             )
             return State(
                 q=q, qd=qd, body_pos=pos, body_quat=quat,
