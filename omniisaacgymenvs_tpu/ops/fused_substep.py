@@ -192,11 +192,20 @@ def eligible(model: Model, engine) -> bool:
 # ---------------------------------------------------------------------------
 
 def build_fused_substep(model: Model, h: float, gravity, contact,
-                        has_height: bool = False):
+                        has_height: bool = False,
+                        dr_keys: tuple = ()):
     """Returns batched_substep(q, qd, effort, pos_target, vel_target,
     f_applied, planes) -> (q', qd', body_force_sensors) over a leading env
     axis. When has_height, `planes` carries (ncp, 3) [c0, gx, gy] per
-    ground contact point: surface z(x, y) = c0 + gx*x + gy*y."""
+    ground contact point: surface z(x, y) = c0 + gx*x + gy*y.
+
+    dr_keys: domain-randomization overlay parameters supplied as extra
+    per-env kernel inputs (utils/domain_randomization.py sample_overlay;
+    subset of mass_scale/stiffness_scale/damping_scale/friction_scale/
+    gravity_delta). The kernel is specialized per key-set so parameters
+    NOT being randomized stay trace-time constants (mass_scale in
+    particular: without it the articulated-inertia recursion's constant
+    subtrees fold away)."""
     nb, nq, nv, njd = model.nb, model.nq, model.nv, model.njd
 
     # -------- numpy model constants (baked into the trace) --------
@@ -259,7 +268,12 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     I6_const = [spatial_I(i) for i in range(nb)]
 
     n_planes = 3 * ncp if has_height else 0
-    n_in = nq + nv + 3 * njd + 6 * nb + n_planes
+    dr_sizes = {
+        "damping_scale": njd, "friction_scale": 1, "gravity_delta": 3,
+        "mass_scale": nb, "stiffness_scale": njd,
+    }
+    n_dr = sum(dr_sizes[k] for k in dr_keys)
+    n_in = nq + nv + 3 * njd + 6 * nb + n_planes + n_dr
     n_out = nq + nv + 6 * max(len(sensors), 1)
     n_fk_out = 13 * nb
 
@@ -376,6 +390,20 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         fa0 = nq + nv + 3 * njd  # applied world wrench [t(3), f(3)] per body
         hp0 = fa0 + 6 * nb       # heightfield planes [c0, gx, gy] per point
 
+        # domain-randomization overlay fields (per-env scales/deltas; the
+        # XLA counterpart is engine._substep's `overlay` handling)
+        off = hp0 + n_planes
+        drv = {}
+        for key in dr_keys:
+            drv[key] = [ins[off + i] for i in range(dr_sizes[key])]
+            off += dr_sizes[key]
+        ms = drv.get("mass_scale")
+        ss = drv.get("stiffness_scale")
+        ds = drv.get("damping_scale")
+        fr = drv["friction_scale"][0] if "friction_scale" in drv else None
+        gd = drv.get("gravity_delta")
+        gzv = [gz[k] + gd[k] for k in range(3)] if gd is not None else gz
+
         E, r, S, vJ, v, cbias, Rw, pw, wv, lv = fk_full(q, qd)
 
         # ---------------- ground contacts (plane / heightfield) -----------
@@ -391,13 +419,16 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             pt = _vadd(pw[b], _m3x(Rw[b], lp_))
             rel = _vsub(pt, pw[b])
             vpt = _vadd(lv[b], _cross(wv[b], rel))
+            mu_k = mu0 * float(cp_mu[k])
+            if fr is not None:
+                mu_k = mu_k * fr
             if has_height:
                 c0, gx, gy = ins[hp0 + 3 * k], ins[hp0 + 3 * k + 1], ins[hp0 + 3 * k + 2]
                 h_at = c0 + gx * pt[0] + gy * pt[1]
                 pen = float(cp_rad[k]) - (pt[2] - h_at)
                 Linv = 1.0 / jnp.sqrt(1.0 + gx * gx + gy * gy)
                 n_ = [-gx * Linv, -gy * Linv, Linv]
-                f = _contact_force_scalar(pen, n_, vpt, mu0 * float(cp_mu[k]))
+                f = _contact_force_scalar(pen, n_, vpt, mu_k)
             else:
                 pen = float(cp_rad[k]) - pt[2]
                 vn = vpt[2]
@@ -408,7 +439,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                 )
                 vt0, vt1 = vpt[0], vpt[1]
                 vt_norm = jnp.sqrt(vt0 * vt0 + vt1 * vt1 + 1e-12)
-                ft_mag = jnp.minimum(mu0 * float(cp_mu[k]) * fn, kt * vt_norm)
+                ft_mag = jnp.minimum(mu_k * fn, kt * vt_norm)
                 scale_t = ft_mag / (vt_norm + 1e-6)
                 f = [-scale_t * vt0, -scale_t * vt1, fn]
             n = _cross(rel, f)
@@ -490,7 +521,10 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                 v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(pt_w, pw[sb])))
 
             vrel = _vsub(v_pt, v_sf)
-            f = _contact_force_scalar(pen, n_, vrel, mu0 * float(cp_mu[pi]))
+            mu_pk = mu0 * float(cp_mu[pi])
+            if fr is not None:
+                mu_pk = mu_pk * fr
+            f = _contact_force_scalar(pen, n_, vrel, mu_pk)
             fx[pb] = _vadd(fx[pb], f)
             tx[pb] = _vadd(tx[pb], _cross(_vsub(pt_w, pw[pb]), f))
             fx[sb] = _vsub(fx[sb], f)
@@ -504,7 +538,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         for b in range(nb):
             if gc_np[b] == 0.0:
                 continue
-            fg = [-gc_np[b] * mass_np[b] * gz[k] for k in range(3)]  # floats
+            fg = [-gc_np[b] * mass_np[b] * gzv[k] for k in range(3)]
+            if ms is not None:
+                fg = [x * ms[b] for x in fg]
             com_w_rel = _m3x(Rw[b], [float(x) for x in com_np[b]])
             fx_tot[b] = _vadd(fx_tot[b], fg)
             tx_tot[b] = _vadd(tx_tot[b], _cross(com_w_rel, fg))
@@ -514,7 +550,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         for jd in range(njd):
             qj = q[int(jq_np[jd])]
             qjd = qd[int(jv_np[jd])]
-            drive = float(kp[jd]) * (ptg[jd] - qj - h * qjd) + float(kd[jd]) * (
+            kp_j = float(kp[jd]) if ss is None else float(kp[jd]) * ss[jd]
+            kd_j = float(kd[jd]) if ds is None else float(kd[jd]) * ds[jd]
+            drive = kp_j * (ptg[jd] - qj - h * qjd) + kd_j * (
                 vtg[jd] - qjd
             )
             drive = jnp.clip(drive, -float(max_eff[jd]), float(max_eff[jd]))
@@ -525,10 +563,21 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
 
         # ---------------- ABA ----------------
         # entries start as python floats; constant subtrees fold at trace
-        IA = [
-            [[float(I6_const[i][r_][c_]) for c_ in range(6)] for r_ in range(6)]
-            for i in range(nb)
-        ]
+        # (with mass_scale DR the per-body scale makes them traced values —
+        # the XLA counterpart scales the spatial inertia identically,
+        # dynamics.aba mass_scale)
+        def _ia_init(i):
+            if ms is None:
+                return [
+                    [float(I6_const[i][r_][c_]) for c_ in range(6)]
+                    for r_ in range(6)
+                ]
+            return [
+                [float(I6_const[i][r_][c_]) * ms[i] for c_ in range(6)]
+                for r_ in range(6)
+            ]
+
+        IA = [_ia_init(i) for i in range(nb)]
         pA = [None] * nb
         for i in range(nb):
             wi, li = v[i]
@@ -536,9 +585,12 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                 [[float(I6_const[i][r_][c_]) for c_ in range(6)] for r_ in range(6)],
                 [wi[0], wi[1], wi[2], li[0], li[1], li[2]],
             )
-            # crf(v, Iv)
+            # crf(v, Iv); linear in Iv, so mass_scale applies afterwards
             n6 = _vadd(_cross(wi, Iv[0:3]), _cross(li, Iv[3:6]))
             f6 = _cross(wi, Iv[3:6])
+            if ms is not None:
+                n6 = [x * ms[i] for x in n6]
+                f6 = [x * ms[i] for x in f6]
             # external wrench world -> body coords
             RwT = _m3t(Rw[i])
             nb_ = _m3x(RwT, tx_tot[i])
@@ -604,7 +656,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
 
         # roots: a_world = [0; -g]; a0p = Xroot(a_world); FREE roots solve
         # their 6x6 articulated inertia, FIXED roots just transmit gravity
-        g6 = [0.0, 0.0, 0.0, -gz[0], -gz[1], -gz[2]]
+        g6 = [0.0, 0.0, 0.0, -gzv[0], -gzv[1], -gzv[2]]
         a = [None] * nb
         qdd = [None] * nv
         for i in model.roots:
@@ -707,7 +759,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             out_ref[k] = outs[k]
 
     def _pack_inputs(q, qd, effort, pos_target, vel_target, f_applied,
-                     planes, npad, nt):
+                     planes, dr, npad, nt):
         N = q.shape[0]
 
         def pack(x, d):
@@ -721,18 +773,21 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         ]
         if has_height:
             parts.append(pack(planes.reshape(N, 3 * ncp), 3 * ncp))
+        for key, arr in zip(dr_keys, dr):
+            parts.append(pack(arr.reshape(N, dr_sizes[key]), dr_sizes[key]))
         return jnp.concatenate(parts, axis=0)
 
     # ------------------------------------------------------------------
     def batched(q, qd, effort, pos_target, vel_target, f_applied,
-                planes=None):
+                planes=None, dr=()):
         """f_applied: (N, nb, 6) world wrench [torque, force] per body;
-        planes: (N, ncp, 3) heightfield local planes (has_height only)."""
+        planes: (N, ncp, 3) heightfield local planes (has_height only);
+        dr: per-env overlay arrays in dr_keys order."""
         N = q.shape[0]
         npad = -(-N // TILE) * TILE
         nt = npad // LANES
         data = _pack_inputs(q, qd, effort, pos_target, vel_target,
-                            f_applied, planes, npad, nt)
+                            f_applied, planes, dr, npad, nt)
         out = pl.pallas_call(
             kernel,
             grid=(npad // TILE,),
@@ -841,14 +896,15 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         return kern
 
     def batched_step(q, qd, effort, pos_target, vel_target, f_applied,
-                     n_steps: int, planes=None, interpret: bool = False):
+                     n_steps: int, planes=None, dr=(),
+                     interpret: bool = False):
         """(N,·) state/control -> (q', qd', sensor_forces, body_pos,
         body_quat, body_avel, body_lvel) after n_steps fused substeps."""
         N = q.shape[0]
         npad = -(-N // TILE) * TILE
         nt = npad // LANES
         data = _pack_inputs(q, qd, effort, pos_target, vel_target,
-                            f_applied, planes, npad, nt)
+                            f_applied, planes, dr, npad, nt)
         out = pl.pallas_call(
             _step_kernel(n_steps),
             grid=(npad // TILE,),
@@ -887,5 +943,6 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     batched.n_in = n_in
     batched.n_out = n_out
     batched.has_height = has_height
+    batched.dr_keys = dr_keys
     batched.ncp = ncp
     return batched

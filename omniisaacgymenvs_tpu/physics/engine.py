@@ -131,6 +131,7 @@ class PhysicsEngine:
             return out, (True, True, True)
 
         self._fused_cv = substep_cv
+        self._fused_kernels = {(): fused}
 
         @custom_vmap
         def fk_cv(q, qd):
@@ -151,16 +152,44 @@ class PhysicsEngine:
         self._fused_h = h
         self._fused_step_cvs = {}
 
-    def _get_fused_step_cv(self, n_steps: int):
+    _DR_SHAPES = {
+        "damping_scale": ("njd",), "friction_scale": (),
+        "gravity_delta": (3,), "mass_scale": ("nb",),
+        "stiffness_scale": ("njd",),
+    }
+
+    def _get_fused_kernel(self, dr_keys: tuple = ()):
+        """Fused kernel specialized to a DR-overlay key-set (extra per-env
+        inputs; params not randomized stay trace-time constants)."""
+        k = self._fused_kernels.get(dr_keys)
+        if k is None:
+            from omniisaacgymenvs_tpu.ops import fused_substep as _fs
+
+            k = _fs.build_fused_substep(
+                self.model, self._fused_h, self.params.gravity,
+                self.contact_params, has_height=self._has_height,
+                dr_keys=dr_keys,
+            )
+            self._fused_kernels[dr_keys] = k
+        return k
+
+    def _dr_shape(self, key):
+        m = self.model
+        return tuple(
+            {"njd": m.njd, "nb": m.nb}.get(d, d)
+            for d in self._DR_SHAPES[key]
+        )
+
+    def _get_fused_step_cv(self, n_steps: int, dr_keys: tuple = ()):
         """custom_vmap over a WHOLE control step (n_steps substeps + report
-        FK in one kernel call); cached per static substep count."""
-        cv = self._fused_step_cvs.get(n_steps)
+        FK in one kernel call); cached per (substep count, DR key-set)."""
+        cv = self._fused_step_cvs.get((n_steps, dr_keys))
         if cv is not None:
             return cv
         m = self.model
         eng = self
         h = self._fused_h
-        fused = self._fused
+        fused = self._get_fused_kernel(dr_keys)
 
         from jax.custom_batching import custom_vmap
 
@@ -168,16 +197,17 @@ class PhysicsEngine:
 
         @custom_vmap
         def step_cv(q, qd, effort, pos_target, vel_target, f_applied,
-                    planes):
+                    planes, *dr_vals):
             ctrl = Control(
                 effort=effort, pos_target=pos_target, vel_target=vel_target,
                 body_force=jnp.zeros((m.nb, 3)),
                 body_torque=jnp.zeros((m.nb, 3)),
             )
+            overlay = dict(zip(dr_keys, dr_vals)) or None
 
             def body(carry, _):
                 q, qd, _sf = carry
-                return eng._substep(q, qd, ctrl, f_applied, h), None
+                return eng._substep(q, qd, ctrl, f_applied, h, overlay), None
 
             init = (q, qd, jnp.zeros((max(m.num_sensors, 0), 6)))
             (q, qd, sf), _ = jax.lax.scan(body, init, None, length=n_steps)
@@ -186,7 +216,8 @@ class PhysicsEngine:
                     st.body_lvel)
 
         @step_cv.def_vmap
-        def _step_vmap(axis_size, in_batched, q, qd, e, p, v, fa, pl_):
+        def _step_vmap(axis_size, in_batched, q, qd, e, p, v, fa, pl_,
+                       *dr_vals):
             def bc(x, b, shape):
                 return x if b else jnp.broadcast_to(x, (axis_size,) + shape)
 
@@ -197,10 +228,14 @@ class PhysicsEngine:
             v = bc(v, in_batched[4], (m.njd,))
             fa = bc(fa, in_batched[5], (m.nb, 6))
             pl_ = bc(pl_, in_batched[6], (ncp, 3))
-            out = fused.step(q, qd, e, p, v, fa, n_steps, planes=pl_)
+            dr = tuple(
+                bc(x, b, eng._dr_shape(key))
+                for x, b, key in zip(dr_vals, in_batched[7:], dr_keys)
+            )
+            out = fused.step(q, qd, e, p, v, fa, n_steps, planes=pl_, dr=dr)
             return out, (True,) * 7
 
-        self._fused_step_cvs[n_steps] = step_cv
+        self._fused_step_cvs[(n_steps, dr_keys)] = step_cv
         return step_cv
 
     # ------------------------------------------------------------------
@@ -342,14 +377,19 @@ class PhysicsEngine:
             [control.body_torque, control.body_force], axis=-1
         )
 
-        use_fused = self._fused_cv is not None and overlay is None
+        use_fused = self._fused_cv is not None
 
         if use_fused:
+            # DR overlays ride the kernel as extra per-env inputs; the
+            # kernel variant is specialized per overlay key-set
+            dr_keys = tuple(sorted(overlay)) if overlay else ()
+            dr_vals = tuple(overlay[k] for k in dr_keys)
             q, qd, sf, pos, quat, avel, lvel = self._get_fused_step_cv(
-                n * self.params.substeps
+                n * self.params.substeps, dr_keys
             )(
                 state.q, state.qd, control.effort, control.pos_target,
                 control.vel_target, f_applied, self._contact_planes(state),
+                *dr_vals,
             )
             return State(
                 q=q, qd=qd, body_pos=pos, body_quat=quat,

@@ -34,26 +34,30 @@ def _perturbed_batch(m, rng, N, scale=0.02, vel=0.2):
     return jnp.asarray(q, jnp.float32), jnp.asarray(qd, jnp.float32)
 
 
-def _run_both(eng, m, q, qd, eff, ptg, vtg, fa, planes=None):
-    """(fused substep_math outputs, XLA _substep outputs) on a batch."""
+def _run_both(eng, m, q, qd, eff, ptg, vtg, fa, planes=None, dr=None):
+    """(fused substep_math outputs, XLA _substep outputs) on a batch.
+    dr: optional dict of batched DR-overlay arrays (engine overlay keys)."""
     h = eng.params.dt / eng.params.substeps
+    dr_keys = tuple(sorted(dr)) if dr else ()
     fused = fs.build_fused_substep(
         m, h, eng.params.gravity, eng.contact_params,
-        has_height=planes is not None,
+        has_height=planes is not None, dr_keys=dr_keys,
     )
     N = q.shape[0]
 
-    def ref_one(q1, qd1, e1, p1, v1, fa1):
+    def ref_one(q1, qd1, e1, p1, v1, fa1, ov):
         ctrl = eng.default_control().replace(
             effort=e1, pos_target=p1, vel_target=v1
         )
-        return eng._substep(q1, qd1, ctrl, fa1, h)
+        return eng._substep(q1, qd1, ctrl, fa1, h, ov or None)
 
-    ref = jax.jit(jax.vmap(ref_one))(q, qd, eff, ptg, vtg, fa)
+    ref = jax.jit(jax.vmap(ref_one))(q, qd, eff, ptg, vtg, fa, dr or {})
 
     parts = [q, qd, eff, ptg, vtg, fa.reshape(N, 6 * m.nb)]
     if planes is not None:
         parts.append(planes.reshape(N, -1))
+    for key in dr_keys:
+        parts.append(dr[key].reshape(N, -1))
     ins = list(jnp.concatenate(parts, axis=1).T)
     outs = jax.jit(lambda ins: fused.substep_math(ins))(ins)
     nq, nv = m.nq, m.nv
@@ -264,6 +268,39 @@ def test_fused_heightfield_local_plane_exact():
 
     (qf, qdf, _), (qr, qdr, _) = _run_both(
         eng, m, q, qd, eff, zt, zt, fa, planes=planes
+    )
+    np.testing.assert_allclose(np.asarray(qf), np.asarray(qr),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(qdf), np.asarray(qdr),
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_fused_math_dr_overlay():
+    """Domain-randomization overlays as fused-kernel inputs vs the XLA
+    path's overlay handling (engine._substep ov.*): per-env mass,
+    stiffness/damping, friction scales and gravity delta."""
+    task = get_task("BallBalance")
+    eng = task.engine
+    m = task.model
+    rng = np.random.default_rng(7)
+    N = 8
+    q, qd = _perturbed_batch(m, rng, N)
+    eff = jnp.asarray(0.3 * rng.standard_normal((N, m.njd)), jnp.float32)
+    zt = jnp.zeros((N, m.njd), jnp.float32)
+    fa = jnp.zeros((N, m.nb, 6), jnp.float32)
+    u = lambda shape, lo, hi: jnp.asarray(
+        rng.uniform(lo, hi, shape), jnp.float32
+    )
+    dr = {
+        "mass_scale": u((N, m.nb), 0.7, 1.3),
+        "stiffness_scale": u((N, m.njd), 0.8, 1.2),
+        "damping_scale": u((N, m.njd), 0.8, 1.2),
+        "friction_scale": u((N,), 0.6, 1.4),
+        "gravity_delta": u((N, 3), -0.5, 0.5),
+    }
+
+    (qf, qdf, _), (qr, qdr, _) = _run_both(
+        eng, m, q, qd, eff, zt, zt, fa, dr=dr
     )
     np.testing.assert_allclose(np.asarray(qf), np.asarray(qr),
                                rtol=2e-4, atol=2e-5)
