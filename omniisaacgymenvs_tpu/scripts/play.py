@@ -47,24 +47,33 @@ def main(argv=None):
     if record:
         es = env.reset(seed=int(cfg["seed"]))
         ts = trainer.state
-        qs, rews = [], []
-        hidden = ts.hidden
 
-        @jax.jit
-        def step(es, hidden):
-            mu, _, _, hidden = trainer._policy(
+        def step(carry, _):
+            es, hidden = carry
+            mu, _v, _s, hidden = trainer._policy(
                 ts.params, ts, es.obs, es.states, hidden
             )
-            return env._step_fn(es, jnp.clip(mu, -1, 1)), hidden
+            es = env._step_fn(es, jnp.clip(mu, -1, 1))
+            if trainer.is_rnn:
+                d = es.done[:, None]
+                hidden = tuple(
+                    jnp.where(d, jnp.zeros_like(x), x) for x in hidden
+                )
+            # record env 0 only: (nq,) joint coords + scalar reward per step
+            return (es, hidden), (es.phys.q[0], es.reward[0])
 
-        for _ in range(steps):
-            es, hidden = step(es, hidden)
-            qs.append(np.asarray(es.phys.q[0]))
-            rews.append(float(es.reward[0]))
+        @jax.jit
+        def rollout(carry):
+            # one dispatch for the whole trajectory (docs/performance.md:
+            # the tunneled runtime costs ~25 ms per dispatch)
+            return jax.lax.scan(step, carry, None, length=steps)
+
+        (es, _), (qs, rews) = rollout((es, ts.hidden))
+        rews = np.asarray(rews)
         np.savez(
             record,
-            q=np.stack(qs),
-            rewards=np.asarray(rews),
+            q=np.asarray(qs),
+            rewards=rews,
             body_names=np.asarray(task.model.body_names),
             dof_names=np.asarray(task.model.dof_names),
         )

@@ -26,18 +26,21 @@ from omniisaacgymenvs_tpu.utils.metrics import make_writer, maybe_init_wandb
 
 def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
     """Deterministic (mean-action) evaluation rollout (reference
-    `test=True` inference path, scripts/rlgames_train.py:79-84)."""
+    `test=True` inference path, scripts/rlgames_train.py:79-84).
+
+    The whole rollout is one lax.scan per `steps` (single dispatch) — a
+    per-step Python loop would pay the tunneled runtime's fixed ~25 ms
+    per-dispatch latency 1000x (docs/performance.md)."""
     env = trainer.env
     es = env.reset(seed=123)
     ts = trainer.state
     total = jnp.zeros(env.num_envs)
     count = jnp.zeros(env.num_envs)
     ep_ret = jnp.zeros(env.num_envs)
-    hidden = ts.hidden
 
-    @jax.jit
-    def step(es, hidden, ep_ret, total, count):
-        mu, _, _, hidden = trainer._policy(
+    def step(carry, _):
+        es, hidden, ep_ret, total, count = carry
+        mu, _v, _s, hidden = trainer._policy(
             ts.params, ts, es.obs, es.states, hidden
         )
         es = env._step_fn(es, jnp.clip(mu, -1.0, 1.0))
@@ -50,10 +53,15 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
         total = total + jnp.where(es.done, ep_ret, 0.0)
         count = count + es.done
         ep_ret = jnp.where(es.done, 0.0, ep_ret)
-        return es, ep_ret, total, count
+        return (es, hidden, ep_ret, total, count), None
 
-    for _ in range(steps):
-        es, ep_ret, total, count = step(es, hidden, ep_ret, total, count)
+    @jax.jit
+    def rollout(carry):
+        return jax.lax.scan(step, carry, None, length=steps)[0]
+
+    es, _, ep_ret, total, count = rollout(
+        (es, ts.hidden, ep_ret, total, count)
+    )
     n = float(jnp.sum(count))
     if n == 0:
         # no episode finished within the horizon: report the mean running
