@@ -41,6 +41,50 @@ def test_ppo_epoch_is_finite_and_improves_early():
     assert hist[-1]["mean_step_reward"] > hist[0]["mean_step_reward"]
 
 
+def test_evaluate_scan_matches_stepwise_loop():
+    """scripts.train.evaluate is one lax.scan; it must match a plain
+    per-step Python loop that carries (and on-done resets) the LSTM
+    hidden state — regression for the stale-hidden eval bug."""
+    import jax
+    import jax.numpy as jnp
+
+    from omniisaacgymenvs_tpu.scripts.train import evaluate
+
+    env = VecEnv(get_task("Cartpole"), 16)
+    cfg = PPOConfig(
+        horizon_length=8, minibatch_size=64, mini_epochs=1,
+        units=(16, 16), rnn_units=8, seq_len=4,
+    )
+    tr = PPOTrainer(env, cfg, seed=1)
+    steps = 80
+    got = evaluate(tr, steps=steps)
+
+    ts = tr.state
+    es = env.reset(seed=123)
+    hidden = ts.hidden
+    total = jnp.zeros(env.num_envs)
+    count = jnp.zeros(env.num_envs)
+    ep_ret = jnp.zeros(env.num_envs)
+    for _ in range(steps):
+        mu, _v, _s, hidden = tr._policy(
+            ts.params, ts, es.obs, es.states, hidden
+        )
+        es = env._step_fn(es, jnp.clip(mu, -1.0, 1.0))
+        d = es.done[:, None]
+        hidden = tuple(jnp.where(d, jnp.zeros_like(x), x) for x in hidden)
+        ep_ret = ep_ret + es.reward
+        total = total + jnp.where(es.done, ep_ret, 0.0)
+        count = count + es.done
+        ep_ret = jnp.where(es.done, 0.0, ep_ret)
+    n = float(jnp.sum(count))
+    want = (
+        (float(jnp.sum(total)) / n, int(n))
+        if n else (float(jnp.mean(ep_ret)), 0)
+    )
+    assert got[1] == want[1]
+    np.testing.assert_allclose(got[0], want[0], rtol=2e-4)
+
+
 def test_chunked_epochs_match_single():
     """epochs_per_jit>1 (lax.scan over the epoch body) must reproduce the
     per-epoch metrics of the sequential path."""
