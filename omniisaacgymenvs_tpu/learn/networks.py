@@ -9,7 +9,7 @@ the privileged states buffer (SURVEY.md §2.5).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -30,15 +30,19 @@ class ActorCritic(nn.Module):
     units: Sequence[int] = (256, 128, 64)
     activation: str = "elu"
     sigma_init: float = 0.0  # reference: const_initializer val 0
+    # compute dtype (rl_games mixed_precision): bf16 matmuls on the MXU,
+    # f32 params and outputs; None = full f32
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, obs: jax.Array):
         act = _ACTS[self.activation]
         x = obs
         for u in self.units:
-            x = act(nn.Dense(u)(x))
+            x = act(nn.Dense(u, dtype=self.dtype)(x))
         mu = nn.Dense(
             self.num_actions,
+            dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(
                 0.01, "fan_in", "truncated_normal"
             ),
@@ -48,8 +52,12 @@ class ActorCritic(nn.Module):
             nn.initializers.constant(self.sigma_init),
             (self.num_actions,),
         )
-        value = nn.Dense(1)(x)[..., 0]
-        return mu, log_std, value
+        value = nn.Dense(1, dtype=self.dtype)(x)[..., 0]
+        return (
+            mu.astype(jnp.float32),
+            log_std,
+            value.astype(jnp.float32),
+        )
 
 
 class CentralValue(nn.Module):
@@ -58,14 +66,15 @@ class CentralValue(nn.Module):
 
     units: Sequence[int] = (512, 512, 256, 128)
     activation: str = "elu"
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, states: jax.Array):
         act = _ACTS[self.activation]
         x = states
         for u in self.units:
-            x = act(nn.Dense(u)(x))
-        return nn.Dense(1)(x)[..., 0]
+            x = act(nn.Dense(u, dtype=self.dtype)(x))
+        return nn.Dense(1, dtype=self.dtype)(x)[..., 0].astype(jnp.float32)
 
 
 class LSTMActorCritic(nn.Module):
@@ -80,21 +89,23 @@ class LSTMActorCritic(nn.Module):
     activation: str = "elu"
     sigma_init: float = 0.0
     layer_norm: bool = True
+    dtype: Optional[Any] = None
 
     @nn.compact
     def __call__(self, obs, hidden):
         act = _ACTS[self.activation]
         h, c = hidden
-        (c2, h2), out = nn.OptimizedLSTMCell(self.lstm_units, name="lstm")(
-            (c, h), obs
-        )
+        (c2, h2), out = nn.OptimizedLSTMCell(
+            self.lstm_units, name="lstm", dtype=self.dtype
+        )((c, h), obs)
         x = out
         if self.layer_norm:
-            x = nn.LayerNorm()(x)
+            x = nn.LayerNorm(dtype=self.dtype)(x)
         for u in self.units:
-            x = act(nn.Dense(u)(x))
+            x = act(nn.Dense(u, dtype=self.dtype)(x))
         mu = nn.Dense(
             self.num_actions,
+            dtype=self.dtype,
             kernel_init=nn.initializers.variance_scaling(
                 0.01, "fan_in", "truncated_normal"
             ),
@@ -104,8 +115,15 @@ class LSTMActorCritic(nn.Module):
             nn.initializers.constant(self.sigma_init),
             (self.num_actions,),
         )
-        value = nn.Dense(1)(x)[..., 0]
-        return mu, log_std, value, (h2, c2)
+        value = nn.Dense(1, dtype=self.dtype)(x)[..., 0]
+        # hidden carry stays f32 so the recurrence doesn't accumulate
+        # bf16 rounding across long rollouts
+        return (
+            mu.astype(jnp.float32),
+            log_std,
+            value.astype(jnp.float32),
+            (h2.astype(jnp.float32), c2.astype(jnp.float32)),
+        )
 
 
 def gaussian_logprob(mu, log_std, action):

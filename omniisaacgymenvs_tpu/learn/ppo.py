@@ -74,6 +74,9 @@ class PPOConfig:
     rnn: Optional[str] = None      # None | "lstm"
     rnn_units: int = 1024
     seq_len: int = 4
+    # rl_games mixed_precision: bf16 network compute (MXU), f32 params,
+    # losses and running norms stay f32
+    mixed_precision: bool = False
 
 
 @flax.struct.dataclass
@@ -98,6 +101,7 @@ class PPOTrainer:
         self.cfg = cfg
         self.is_rnn = cfg.rnn == "lstm"
         self.use_cv = cfg.central_value and env.num_states > 0
+        net_dtype = jnp.bfloat16 if cfg.mixed_precision else None
         if self.is_rnn:
             self.net = LSTMActorCritic(
                 num_actions=env.num_actions,
@@ -105,6 +109,7 @@ class PPOTrainer:
                 units=tuple(cfg.units),
                 activation=cfg.activation,
                 sigma_init=cfg.sigma_init,
+                dtype=net_dtype,
             )
         else:
             self.net = ActorCritic(
@@ -112,9 +117,14 @@ class PPOTrainer:
                 units=tuple(cfg.units),
                 activation=cfg.activation,
                 sigma_init=cfg.sigma_init,
+                dtype=net_dtype,
             )
         self.cv_net = (
-            CentralValue(units=tuple(cfg.cv_units), activation=cfg.activation)
+            CentralValue(
+                units=tuple(cfg.cv_units),
+                activation=cfg.activation,
+                dtype=net_dtype,
+            )
             if self.use_cv
             else None
         )

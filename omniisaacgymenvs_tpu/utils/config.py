@@ -118,6 +118,7 @@ def ppo_config_kwargs(train_cfg: dict) -> dict:
             c.get("reward_shaper", {}).get("scale_value", 1.0)
         ),
         value_bootstrap=c.get("value_bootstrap", False),
+        mixed_precision=c.get("mixed_precision", False),
         max_epochs=c.get("max_epochs", 100),
     )
     # asymmetric central value (rl_games central_value_config)

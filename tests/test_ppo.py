@@ -41,6 +41,22 @@ def test_ppo_epoch_is_finite_and_improves_early():
     assert hist[-1]["mean_step_reward"] > hist[0]["mean_step_reward"]
 
 
+def test_mixed_precision_trains_finite():
+    """mixed_precision=True (bf16 network compute, f32 params/losses —
+    rl_games cfg key) must keep metrics finite and show early learning."""
+    env = VecEnv(get_task("Cartpole"), 16)
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=256, mini_epochs=4,
+        reward_shaper_scale=0.1, units=(32, 32), mixed_precision=True,
+    )
+    tr = PPOTrainer(env, cfg, seed=0)
+    hist = tr.train(max_epochs=20, log_every=1, log_fn=None)
+    for h in hist:
+        assert np.isfinite(h["mean_step_reward"])
+        assert np.isfinite(h["kl"])
+    assert hist[-1]["mean_step_reward"] > hist[0]["mean_step_reward"]
+
+
 def test_evaluate_scan_matches_stepwise_loop():
     """scripts.train.evaluate is one lax.scan; it must match a plain
     per-step Python loop that carries (and on-done resets) the LSTM
