@@ -59,8 +59,11 @@ def main(argv=None):
                 hidden = tuple(
                     jnp.where(d, jnp.zeros_like(x), x) for x in hidden
                 )
-            # record env 0 only: (nq,) joint coords + scalar reward per step
-            return (es, hidden), (es.phys.q[0], es.reward[0])
+            # record env 0 only: joint coords, world body positions and the
+            # scalar reward per step (body_pos feeds scripts/viewer.py)
+            return (es, hidden), (
+                es.phys.q[0], es.phys.body_pos[0], es.reward[0]
+            )
 
         @jax.jit
         def rollout(carry):
@@ -68,12 +71,15 @@ def main(argv=None):
             # the tunneled runtime costs ~25 ms per dispatch)
             return jax.lax.scan(step, carry, None, length=steps)
 
-        (es, _), (qs, rews) = rollout((es, ts.hidden))
+        (es, _), (qs, body_pos, rews) = rollout((es, ts.hidden))
         rews = np.asarray(rews)
         np.savez(
             record,
             q=np.asarray(qs),
+            body_pos=np.asarray(body_pos),
+            parents=np.asarray(task.model.parents),
             rewards=rews,
+            task=np.asarray(cfg["task_name"]),
             body_names=np.asarray(task.model.body_names),
             dof_names=np.asarray(task.model.dof_names),
         )

@@ -58,6 +58,13 @@ def test_play_cli_records_trajectory(tmp_path, monkeypatch):
     assert data["q"].shape[0] == 16
     assert data["rewards"].shape == (16,)
     assert data["dof_names"].shape[0] == 2  # cart slider + pole hinge
+    assert data["body_pos"].shape[0] == 16 and data["body_pos"].shape[2] == 3
+
+    from omniisaacgymenvs_tpu.scripts import viewer
+
+    gif = tmp_path / "traj.gif"
+    viewer.main([str(rec), str(gif), "stride=4", "fps=10"])
+    assert gif.stat().st_size > 0
 
 
 def test_random_policy_cli(capsys):
