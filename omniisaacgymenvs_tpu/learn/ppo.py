@@ -92,6 +92,13 @@ class TrainState:
     hidden: Any              # RNN carry ((N,u),(N,u)) or ()
     ep_ret: jax.Array        # (N,) running episode reward (raw)
     ep_len: jax.Array        # (N,)
+    # running means over the last ~100 completed episodes (rl_games
+    # AverageMeter games_to_track=100 semantics): without these, tasks whose
+    # episodes only end on timeout (e.g. FrankaCabinet, 500 steps) would
+    # report 0 on every epoch whose 16-step window contains no episode end
+    score_mean: jax.Array    # ()
+    len_mean: jax.Array      # ()
+    games: jax.Array         # () episodes inside the tracking window
     epoch: jax.Array
 
 
@@ -164,6 +171,9 @@ class PPOTrainer:
             hidden=hidden,
             ep_ret=jnp.zeros(n),
             ep_len=jnp.zeros(n),
+            score_mean=jnp.zeros(()),
+            len_mean=jnp.zeros(()),
+            games=jnp.zeros(()),
             epoch=jnp.zeros((), jnp.int32),
         )
         if self.is_rnn:
@@ -501,9 +511,22 @@ class PPOTrainer:
             ts, dataset, advs_mean, advs_std, num_slices, mb_slices
         )
         ts = ts.replace(epoch=ts.epoch + 1)
+        # fold this window's completed episodes into the ~100-episode
+        # running means (incremental mean with the window capped at 100,
+        # matching rl_games AverageMeter(games_to_track=100))
+        cnt = stats["fin_cnt"]
+        tracked = jnp.minimum(ts.games + cnt, 100.0)
+        w = jnp.where(cnt > 0, cnt / jnp.maximum(tracked, 1.0), 0.0)
+        batch_ret = stats["fin_ret"] / jnp.maximum(cnt, 1)
+        batch_len = stats["fin_len"] / jnp.maximum(cnt, 1)
+        ts = ts.replace(
+            score_mean=ts.score_mean + w * (batch_ret - ts.score_mean),
+            len_mean=ts.len_mean + w * (batch_len - ts.len_mean),
+            games=tracked,
+        )
         metrics = dict(
-            mean_ep_reward=stats["fin_ret"] / jnp.maximum(stats["fin_cnt"], 1),
-            mean_ep_length=stats["fin_len"] / jnp.maximum(stats["fin_cnt"], 1),
+            mean_ep_reward=ts.score_mean,
+            mean_ep_length=ts.len_mean,
             episodes=stats["fin_cnt"],
             mean_step_reward=jnp.mean(traj["reward"]),
             lr=ts.lr,
@@ -525,11 +548,16 @@ class PPOTrainer:
         path = os.path.abspath(path)
         payload = dict(
             params=self.state.params,
+            opt_state=self.state.opt_state,
             obs_norm=self.state.obs_norm,
             value_norm=self.state.value_norm,
             lr=self.state.lr,
             epoch=self.state.epoch,
         )
+        if self.env.num_states > 0:
+            # orbax rejects zero-size arrays; states_norm is (0,) when the
+            # task has no asymmetric-critic states
+            payload["states_norm"] = self.state.states_norm
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
 
@@ -541,11 +569,14 @@ class PPOTrainer:
         ckptr = ocp.PyTreeCheckpointer()
         target = dict(
             params=self.state.params,
+            opt_state=self.state.opt_state,
             obs_norm=self.state.obs_norm,
             value_norm=self.state.value_norm,
             lr=self.state.lr,
             epoch=self.state.epoch,
         )
+        if self.env.num_states > 0:
+            target["states_norm"] = self.state.states_norm
         payload = ckptr.restore(path, item=target)
         self.state = self.state.replace(**payload)
 

@@ -120,3 +120,32 @@ def test_chunked_epochs_match_single():
         assert a["epoch"] == b["epoch"]
         assert abs(a["mean_ep_reward"] - b["mean_ep_reward"]) < 1e-2
         assert abs(a["kl"] - b["kl"]) < 1e-3
+
+
+def test_episode_score_window_persists_across_empty_epochs():
+    """mean_ep_reward must report the running mean of recently completed
+    episodes (rl_games AverageMeter games_to_track=100), NOT drop to 0 on
+    epochs whose horizon window contains no episode end — previously tasks
+    with timeout-only episodes (e.g. FrankaCabinet, 500 steps vs horizon
+    16) logged 0.00 for the entire run."""
+    env = VecEnv(get_task("Cartpole"), 2)
+    cfg = PPOConfig(horizon_length=8, minibatch_size=16, mini_epochs=1,
+                    units=(16,))
+    tr = PPOTrainer(env, cfg, seed=0)
+    rows = []
+    for _ in range(40):
+        tr.state, m = tr._epoch_jit(tr.state)
+        rows.append({k: float(v) for k, v in m.items()})
+    # some window must be empty and some not for the test to be meaningful
+    empties = [r for r in rows if r["episodes"] == 0]
+    nonempties = [r for r in rows if r["episodes"] > 0]
+    assert empties and nonempties
+    seen_score = False
+    prev = None
+    for r in rows:
+        if r["episodes"] == 0 and prev is not None and seen_score:
+            assert r["mean_ep_reward"] == prev["mean_ep_reward"]
+            assert r["mean_ep_reward"] != 0.0
+        if r["episodes"] > 0:
+            seen_score = True
+        prev = r
