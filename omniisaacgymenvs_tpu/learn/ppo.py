@@ -516,7 +516,13 @@ class PPOTrainer:
         # matching rl_games AverageMeter(games_to_track=100))
         cnt = stats["fin_cnt"]
         tracked = jnp.minimum(ts.games + cnt, 100.0)
-        w = jnp.where(cnt > 0, cnt / jnp.maximum(tracked, 1.0), 0.0)
+        # w capped at 1: with >100 episode ends in one window (short episodes
+        # early in training) an uncapped cnt/tracked > 1 turns the
+        # incremental mean into a diverging over-relaxation
+        # (m' = (1-w)m + wx, |1-w| > 1 -> alternating-sign blowup -> nan)
+        w = jnp.where(
+            cnt > 0, jnp.minimum(cnt / jnp.maximum(tracked, 1.0), 1.0), 0.0
+        )
         batch_ret = stats["fin_ret"] / jnp.maximum(cnt, 1)
         batch_len = stats["fin_len"] / jnp.maximum(cnt, 1)
         ts = ts.replace(

@@ -177,7 +177,7 @@ class InHandManipulationTask(RLTask):
         goal_dist = jnp.linalg.norm(object_pos - self.goal_pos)
         quat_diff = rot.quat_mul(object_rot, rot.quat_conjugate(carry["goal_rot"]))
         rot_dist = 2.0 * jnp.arcsin(
-            jnp.clip(jnp.linalg.norm(quat_diff[1:4]), a_max=1.0)
+            jnp.clip(jnp.linalg.norm(quat_diff[1:4]), max=1.0)
         )
 
         dist_rew = goal_dist * self.dist_reward_scale

@@ -149,3 +149,27 @@ def test_episode_score_window_persists_across_empty_epochs():
         if r["episodes"] > 0:
             seen_score = True
         prev = r
+
+
+def test_score_window_survives_many_episode_ends_per_epoch():
+    """Regression: >100 episode completions inside one rollout window made
+    the capped-at-100 incremental mean an over-relaxation (w = cnt/100 > 1),
+    which diverges with alternating sign and then poisons ep_rew/ep_len
+    with nan for the rest of the run (observed on Quadcopter @4096 envs,
+    229-345 episode ends per 16-step window)."""
+
+    # episodes last at most 2 steps -> 256 envs * 16 steps / 2 >> 100
+    task = get_task("Cartpole")
+    task.max_episode_length = 2
+    env = VecEnv(task, 256)
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=1024, mini_epochs=1, units=(16,),
+    )
+    tr = PPOTrainer(env, cfg, seed=0)
+    hist = tr.train(max_epochs=6, log_every=1, log_fn=None)
+    for h in hist:
+        assert np.isfinite(h["mean_ep_reward"]), hist
+        assert np.isfinite(h["mean_ep_length"]), hist
+        # episode length can never exceed the 2-step cap (a diverging mean
+        # would blow through this immediately)
+        assert 0.0 <= h["mean_ep_length"] <= 2.5, hist
