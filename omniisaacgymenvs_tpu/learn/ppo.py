@@ -100,6 +100,10 @@ class TrainState:
     len_mean: jax.Array      # ()
     games: jax.Array         # () episodes inside the tracking window
     epoch: jax.Array
+    # task-defined cross-env statistics (RLTask.episode_stats_*), e.g. the
+    # in-hand consecutive-success EMA (reference in_hand_manipulation
+    # .py:394-396) — updated after every env step on the batched state
+    task_stats: Any = ()
 
 
 class PPOTrainer:
@@ -175,6 +179,7 @@ class PPOTrainer:
             len_mean=jnp.zeros(()),
             games=jnp.zeros(()),
             epoch=jnp.zeros((), jnp.int32),
+            task_stats=env.task.episode_stats_init(),
         )
         if self.is_rnn:
             assert cfg.horizon_length % cfg.seq_len == 0, (
@@ -205,7 +210,8 @@ class PPOTrainer:
         step_env = jax.vmap(self.env.task.step)
 
         def body(carry, _):
-            es, rng, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt = carry
+            (es, rng, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt,
+             task_stats) = carry
             mu, log_std, value, hidden_post = self._policy(
                 ts.params, ts, es.obs, es.states, hidden
             )
@@ -235,6 +241,7 @@ class PPOTrainer:
             fin_cnt = fin_cnt + jnp.sum(d)
             ep_ret = jnp.where(d, 0.0, ep_ret)
             ep_len = jnp.where(d, 0.0, ep_len)
+            task_stats = self.env.task.episode_stats_update(task_stats, es2)
             out = dict(
                 obs=es.obs,
                 states=es.states,
@@ -251,20 +258,25 @@ class PPOTrainer:
                 out["hidden_c"] = hidden[1]
             return (
                 es2, rng, hidden_next, ep_ret, ep_len, fin_ret, fin_len,
-                fin_cnt,
+                fin_cnt, task_stats,
             ), out
 
         rng, k = jax.random.split(ts.rng)
-        init = (ts.es, k, ts.hidden, ts.ep_ret, ts.ep_len, 0.0, 0.0, 0.0)
-        (es, _, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt), traj = (
-            jax.lax.scan(body, init, None, length=cfg.horizon_length)
+        init = (
+            ts.es, k, ts.hidden, ts.ep_ret, ts.ep_len, 0.0, 0.0, 0.0,
+            ts.task_stats,
         )
+        (
+            es, _, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt,
+            task_stats,
+        ), traj = jax.lax.scan(body, init, None, length=cfg.horizon_length)
         # bootstrap value of the final state
         _, _, last_value, _ = self._policy(
             ts.params, ts, es.obs, es.states, hidden
         )
         ts = ts.replace(
-            es=es, rng=rng, hidden=hidden, ep_ret=ep_ret, ep_len=ep_len
+            es=es, rng=rng, hidden=hidden, ep_ret=ep_ret, ep_len=ep_len,
+            task_stats=task_stats,
         )
         stats = dict(fin_ret=fin_ret, fin_len=fin_len, fin_cnt=fin_cnt)
         return ts, traj, last_value, stats
@@ -543,6 +555,10 @@ class PPOTrainer:
         for k, v in ts.es.metrics.items():
             tag = k if "/" in k else "Episode/" + k
             metrics[tag] = jnp.mean(v)
+        # cross-env task statistics (e.g. consecutive_successes EMA)
+        if isinstance(ts.task_stats, dict):
+            for k, v in ts.task_stats.items():
+                metrics[k if "/" in k else "Episode/" + k] = v
         return ts, metrics
 
     # ------------------------------------------------------------------

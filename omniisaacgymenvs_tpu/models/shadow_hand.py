@@ -8,8 +8,11 @@ views/shadow_hand_view.py (actuated joints exclude the four distal J0
 joints, which the USD couples to J1 via fixed tendons :59-73).
 
 The hand is authored palm-up with fingers along +y; the distal J0 joints
-are modeled as joints whose targets mirror J1 (the practical effect of the
-position-coupling tendon). The object is the reference 65 mm block with
+carry NO drive — they are coupled to J1 by fixed tendons at the force
+level (limit_stiffness 30, damping 0.1, reference views/shadow_hand_view
+.py:71-73), so a free J0 under contact load deflects against the tendon
+spring exactly like the reference articulation. The object is the
+reference 65 mm block with
 mass 0.07087 kg (reference tasks/shared/in_hand_manipulation.py:118-124).
 Bodies are inserted breadth-first so the dof order matches the reference's
 USD traversal convention.
@@ -43,8 +46,13 @@ ACTUATED_JOINT_NAMES = (
     "LFJ3", "LFJ2", "LFJ1",
     "THJ4", "THJ3", "THJ2", "THJ1", "THJ0",
 )
-# distal joints coupled to their J1 (reference tendons)
+# distal joints tendon-coupled to their J1 (reference fixed tendons,
+# views/shadow_hand_view.py:71-73) — force-level, NOT target mirroring
 COUPLED = {"FFJ0": "FFJ1", "MFJ0": "MFJ1", "RFJ0": "RFJ1", "LFJ0": "LFJ1"}
+TENDON_LIMIT_STIFFNESS = 30.0   # reference limit_stiffness
+TENDON_DAMPING = 0.1            # reference damping
+# undriven distal joints (tendon-coupled)
+_J0 = dict(stiffness=0.0, drive_damping=0.0)
 
 FINGERTIP_BODIES = ("FFJ0", "MFJ0", "RFJ0", "LFJ0", "THJ0")
 
@@ -192,7 +200,7 @@ def build_shadow_hand():
                 joint_type=JointType.REVOLUTE, joint_axis=(1, 0, 0),
                 joint_pos=(0, _SEG["middle"], 0),
                 limit=(0.0, 1.571), mass=mm, com=com, inertia=I,
-                max_effort=0.7245, **_F, **fkw, **gc,
+                max_effort=0.7245, **_J0, **fkw, **gc,
             )
             b.add_capsule_collider(
                 tip, (0, 0, 0), (0, _SEG["distal"], 0), _FR, n_extra=1
@@ -213,7 +221,7 @@ def build_shadow_hand():
         "LFJ0", parent=tips["LF_mid"], joint_type=JointType.REVOLUTE,
         joint_axis=(1, 0, 0), joint_pos=(0, _SEG["middle"], 0),
         limit=(0.0, 1.571), mass=mm, com=com, inertia=I,
-        max_effort=0.7245, **_F, **fkw, **gc,
+        max_effort=0.7245, **_J0, **fkw, **gc,
     )
     b.add_capsule_collider(lf_tip, (0, 0, 0), (0, _SEG["distal"], 0), _FR, n_extra=1)
     b.add_force_sensor(lf_tip)
@@ -226,6 +234,14 @@ def build_shadow_hand():
     )
     b.add_capsule_collider(th_tip, (0, 0, 0), (0, 0.0275, 0), 0.010, n_extra=1)
     b.add_force_sensor(th_tip)
+
+    # ---- fixed tendons: J0 follows J1 on the four fingers ----
+    for follower, leader in COUPLED.items():
+        b.add_fixed_tendon(
+            leader, follower, coef=(1.0, -1.0),
+            damping=TENDON_DAMPING,
+            limit_stiffness=TENDON_LIMIT_STIFFNESS,
+        )
 
     # ---- object: free 65 mm block ----
     h = OBJECT_SIZE / 2.0

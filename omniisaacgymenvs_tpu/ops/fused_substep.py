@@ -250,6 +250,16 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     mu0, fn_max = float(contact.mu), float(contact.fn_max)
     d_impl = h * (kd + damping + h * kp)
     ncp = cp_body.shape[0]
+    # fixed tendons (physics/dynamics.py drive_torques tendon block)
+    nt_ = model.nt
+    t_dof = np.asarray(model.tendon_dof)
+    t_coef = np.asarray(model.tendon_coef, np.float64)
+    t_rest = np.asarray(model.tendon_rest, np.float64)
+    t_k = np.asarray(model.tendon_stiffness, np.float64)
+    t_c = np.asarray(model.tendon_damping, np.float64)
+    t_lo = np.asarray(model.tendon_limit_lower, np.float64)
+    t_hi = np.asarray(model.tendon_limit_upper, np.float64)
+    t_klim = np.asarray(model.tendon_limit_stiffness, np.float64)
 
     # spatial inertia constants per body (6x6 floats)
     def spatial_I(i):
@@ -271,6 +281,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     dr_sizes = {
         "damping_scale": njd, "friction_scale": 1, "gravity_delta": 3,
         "mass_scale": nb, "stiffness_scale": njd,
+        "tendon_stiffness_scale": nt_, "tendon_damping_scale": nt_,
     }
     n_dr = sum(dr_sizes[k] for k in dr_keys)
     n_in = nq + nv + 3 * njd + 6 * nb + n_planes + n_dr
@@ -561,6 +572,37 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             )
             tau[jd] = drive + eff[jd] + passive
 
+        # ---------------- fixed tendons ----------------
+        # Stable-PD coupling forces + per-dof implicit diagonal (mirrors
+        # physics/dynamics.py drive_torques/aba tendon blocks); with no
+        # tendon DR the d_tend entries are python floats and fold away
+        ts_ = drv.get("tendon_stiffness_scale")
+        tds_ = drv.get("tendon_damping_scale")
+        d_tend = [0.0] * njd
+        for t in range(nt_):
+            i0, i1 = int(t_dof[t][0]), int(t_dof[t][1])
+            c0_, c1_ = float(t_coef[t][0]), float(t_coef[t][1])
+            q0 = q[int(jq_np[i0])]
+            q1 = q[int(jq_np[i1])]
+            qd0 = qd[int(jv_np[i0])]
+            qd1 = qd[int(jv_np[i1])]
+            k_ = float(t_k[t])
+            klim_ = float(t_klim[t])
+            c_ = float(t_c[t])
+            if ts_ is not None:
+                k_ = k_ * ts_[t]
+                klim_ = klim_ * ts_[t]
+            if tds_ is not None:
+                c_ = c_ * tds_[t]
+            L = c0_ * (q0 + h * qd0) + c1_ * (q1 + h * qd1)
+            Ldot = c0_ * qd0 + c1_ * qd1
+            excess = L - jnp.clip(L, float(t_lo[t]), float(t_hi[t]))
+            F = klim_ * excess + k_ * (L - float(t_rest[t])) + c_ * Ldot
+            tau[i0] = tau[i0] - c0_ * F
+            tau[i1] = tau[i1] - c1_ * F
+            d_tend[i0] = d_tend[i0] + h * (c_ + h * (k_ + klim_)) * c0_ * c0_
+            d_tend[i1] = d_tend[i1] + h * (c_ + h * (k_ + klim_)) * c1_ * c1_
+
         # ---------------- ABA ----------------
         # entries start as python floats; constant subtrees fold at trace
         # (with mass_scale DR the per-body scale makes them traced values —
@@ -613,7 +655,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             Ui = _m6x(IA[i], S6)
             Di = (
                 sum(S6[k] * Ui[k] for k in range(6) if S6[k] != 0.0)
-                + float(armature[jd]) + float(d_impl[jd])
+                + float(armature[jd]) + float(d_impl[jd]) + d_tend[jd]
             )
             ui = tau[jd] - sum(S6[k] * pA[i][k] for k in range(6) if S6[k] != 0.0)
             U[i], D[i], uu[i] = Ui, Di, ui

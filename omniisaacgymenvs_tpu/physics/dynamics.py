@@ -193,6 +193,8 @@ def aba(
     gravity: jax.Array,
     h: float = 0.0,
     mass_scale=None,
+    tendon_stiffness_scale=None,
+    tendon_damping_scale=None,
 ) -> jax.Array:
     """Articulated-body algorithm -> qdd (nv,).
 
@@ -208,6 +210,21 @@ def aba(
         model.dof_drive_damping + model.dof_damping
         + h * model.dof_stiffness
     )
+    if model.nt:
+        # fixed-tendon implicit diagonal: h*(c + h*(k + k_lim))*coef^2 per
+        # coupled dof — the diagonal part of the exact implicit tendon
+        # Jacobian (off-diagonal coupling dropped; errs on the damped side)
+        tk = model.tendon_stiffness + model.tendon_limit_stiffness
+        tc = model.tendon_damping
+        if tendon_stiffness_scale is not None:
+            tk = tk * tendon_stiffness_scale
+        if tendon_damping_scale is not None:
+            tc = tc * tendon_damping_scale
+        per_t = h * (tc + h * tk)                          # (nt,)
+        contrib = per_t[:, None] * model.tendon_coef**2    # (nt, 2)
+        d_implicit = d_implicit.at[model.tendon_dof.reshape(-1)].add(
+            contrib.reshape(-1)
+        )
 
     # ---- batched articulated quantities ----
     IA = spatial.spatial_inertia(
@@ -319,7 +336,8 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
 
 def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control,
                   h: float = 0.0, stiffness_scale=None,
-                  damping_scale=None) -> jax.Array:
+                  damping_scale=None, tendon_stiffness_scale=None,
+                  tendon_damping_scale=None) -> jax.Array:
     """Total active joint torque: PD drive (clamped) + direct effort +
     passive damping/friction. Matches the PhysX implicit joint drive law
     (stiffness*(target-q) + damping*(vtarget-qd), clamped to max_force;
@@ -341,4 +359,27 @@ def drive_torques(model: Model, q: jax.Array, qd: jax.Array, control,
     )
     drive = jnp.clip(drive, -model.dof_max_effort, model.dof_max_effort)
     passive = -model.dof_damping * qjd - model.dof_friction * jnp.tanh(qjd * 10.0)
-    return drive + control.effort + passive
+    tau = drive + control.effort + passive
+    if model.nt:
+        # fixed tendons (PhysX fixed-tendon semantics; reference
+        # views/shadow_hand_view.py:71-73): Stable-PD style — length
+        # evaluated at the velocity-predicted position, damping made
+        # implicit via the matching diagonal addition in aba()
+        td = model.tendon_dof                      # (nt, 2)
+        co = model.tendon_coef                     # (nt, 2)
+        L = jnp.sum(co * (qj + h * qjd)[td], axis=-1)
+        Ldot = jnp.sum(co * qjd[td], axis=-1)
+        tk = model.tendon_stiffness
+        klim = model.tendon_limit_stiffness
+        tc = model.tendon_damping
+        if tendon_stiffness_scale is not None:
+            tk = tk * tendon_stiffness_scale
+            klim = klim * tendon_stiffness_scale
+        if tendon_damping_scale is not None:
+            tc = tc * tendon_damping_scale
+        excess = L - jnp.clip(
+            L, model.tendon_limit_lower, model.tendon_limit_upper
+        )
+        F = klim * excess + tk * (L - model.tendon_rest) + tc * Ldot
+        tau = tau.at[td.reshape(-1)].add((-co * F[:, None]).reshape(-1))
+    return tau

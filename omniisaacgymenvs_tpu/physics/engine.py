@@ -156,6 +156,7 @@ class PhysicsEngine:
         "damping_scale": ("njd",), "friction_scale": (),
         "gravity_delta": (3,), "mass_scale": ("nb",),
         "stiffness_scale": ("njd",),
+        "tendon_stiffness_scale": ("nt",), "tendon_damping_scale": ("nt",),
     }
 
     def _get_fused_kernel(self, dr_keys: tuple = ()):
@@ -176,7 +177,7 @@ class PhysicsEngine:
     def _dr_shape(self, key):
         m = self.model
         return tuple(
-            {"njd": m.njd, "nb": m.nb}.get(d, d)
+            {"njd": m.njd, "nb": m.nb, "nt": m.nt}.get(d, d)
             for d in self._DR_SHAPES[key]
         )
 
@@ -348,10 +349,14 @@ class PhysicsEngine:
             m, q, qd, control, h,
             stiffness_scale=ov.get("stiffness_scale"),
             damping_scale=ov.get("damping_scale"),
+            tendon_stiffness_scale=ov.get("tendon_stiffness_scale"),
+            tendon_damping_scale=ov.get("tendon_damping_scale"),
         )
         qdd = dynamics.aba(
             m, q, qd, tau, f_ext, kin, gravity, h,
             mass_scale=ov.get("mass_scale"),
+            tendon_stiffness_scale=ov.get("tendon_stiffness_scale"),
+            tendon_damping_scale=ov.get("tendon_damping_scale"),
         )
         q, qd = dynamics.integrate(m, q, qd, qdd, h)
         if m.num_sensors:

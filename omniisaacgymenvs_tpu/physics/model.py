@@ -100,6 +100,20 @@ class Model:
     # precomputed cross-tree (point, surface) candidate pairs
     pair_point: jnp.ndarray      # (npair,) int32 index into cp_*
     pair_surf: Tuple[int, ...]   # (npair,) surface index (static)
+    # --- fixed tendons: force-level joint coupling (reference
+    # views/shadow_hand_view.py:71-73 set_fixed_tendon_properties) ---
+    # tendon length L = sum_k coef_k * q_dof_k; generalized force
+    # tau_dof_k = -coef_k * (k_lim*(L - clip(L, lo, hi)) + k*(L - rest)
+    #                        + c*Ldot)
+    nt: int                      # number of fixed tendons
+    tendon_dof: jnp.ndarray      # (nt, 2) int32 coupled joint-dof indices
+    tendon_coef: jnp.ndarray     # (nt, 2) length coefficients
+    tendon_rest: jnp.ndarray     # (nt,) spring rest length
+    tendon_stiffness: jnp.ndarray        # (nt,) spring about rest
+    tendon_damping: jnp.ndarray          # (nt,) on Ldot
+    tendon_limit_lower: jnp.ndarray      # (nt,)
+    tendon_limit_upper: jnp.ndarray      # (nt,)
+    tendon_limit_stiffness: jnp.ndarray  # (nt,) outside [lo, hi]
     # gravity compensation mask (reference shadow_hand.py DisableGravity)
     gravity_comp: jnp.ndarray    # (nb,) 1.0 = body feels no gravity
     # --- force sensors: aggregate contact wrench per sensor body ---
@@ -191,6 +205,8 @@ class ModelBuilder:
         self._cp: List[Tuple[int, np.ndarray, float, float]] = []
         self._surfaces: List[Tuple[int, int, tuple]] = []  # (type, body, params)
         self._sensors: List[int] = []
+        # (dof_name_a, dof_name_b, coef_a, coef_b, rest, k, c, lo, hi, k_lim)
+        self._tendons: List[tuple] = []
 
     # ------------------------------------------------------------------
     def add_body(
@@ -344,6 +360,32 @@ class ModelBuilder:
                 return
         raise KeyError(f"no dof named {dof_name!r}")
 
+    def add_fixed_tendon(
+        self,
+        dof_a: str,
+        dof_b: str,
+        coef: Tuple[float, float] = (1.0, -1.0),
+        rest: float = 0.0,
+        stiffness: float = 0.0,
+        damping: float = 0.0,
+        limit: Tuple[float, float] = (0.0, 0.0),
+        limit_stiffness: float = 0.0,
+    ):
+        """Fixed tendon coupling two joint dofs at the FORCE level (PhysX
+        fixed tendons; reference views/shadow_hand_view.py:71-73 sets
+        limit_stiffness=30, damping=0.1 on the hand's J0<->J1 tendons).
+        Tendon length L = coef[0]*q_a + coef[1]*q_b; a spring about `rest`
+        (k=stiffness) plus a limit spring outside `limit` (k=limit_stiffness)
+        plus damping on Ldot produce tau = -coef * F on both dofs. With the
+        default coef (1, -1) and zero limits the coupled dofs are sprung
+        toward equal angles — a follower joint driven purely by the leader's
+        motion under load, not by mirrored position targets."""
+        self._tendons.append(
+            (dof_a, dof_b, float(coef[0]), float(coef[1]), float(rest),
+             float(stiffness), float(damping), float(limit[0]),
+             float(limit[1]), float(limit_stiffness))
+        )
+
     def set_root_default(self, pos=(0, 0, 0), quat=(1, 0, 0, 0), body: int = 0):
         self._bodies[body].default_pose = np.concatenate(
             [np.asarray(pos, np.float64), np.asarray(quat, np.float64)]
@@ -442,6 +484,25 @@ class ModelBuilder:
                     pair_point.append(pi)
                     pair_surf.append(si)
 
+        # fixed tendons: resolve dof names -> joint-dof indices
+        name_to_jd = {n: i for i, n in enumerate(dof_names)}
+        nt = len(self._tendons)
+        t_dof = np.zeros((nt, 2), np.int32)
+        t_coef = np.zeros((nt, 2))
+        t_rest = np.zeros(nt)
+        t_k = np.zeros(nt)
+        t_c = np.zeros(nt)
+        t_lo = np.zeros(nt)
+        t_hi = np.zeros(nt)
+        t_klim = np.zeros(nt)
+        for ti, (da, db, ca, cb, rest, k, c, lo, hi, klim) in enumerate(
+            self._tendons
+        ):
+            t_dof[ti] = (name_to_jd[da], name_to_jd[db])
+            t_coef[ti] = (ca, cb)
+            t_rest[ti], t_k[ti], t_c[ti] = rest, k, c
+            t_lo[ti], t_hi[ti], t_klim[ti] = lo, hi, klim
+
         return Model(
             name=self.name,
             nb=nb, nq=nq, nv=nv, njd=njd,
@@ -477,6 +538,15 @@ class ModelBuilder:
             surf_params=tuple(s[2] for s in self._surfaces),
             pair_point=jnp.asarray(np.asarray(pair_point, dtype=np.int32)),
             pair_surf=tuple(pair_surf),
+            nt=nt,
+            tendon_dof=jnp.asarray(t_dof),
+            tendon_coef=jnp.asarray(t_coef, dtype),
+            tendon_rest=jnp.asarray(t_rest, dtype),
+            tendon_stiffness=jnp.asarray(t_k, dtype),
+            tendon_damping=jnp.asarray(t_c, dtype),
+            tendon_limit_lower=jnp.asarray(t_lo, dtype),
+            tendon_limit_upper=jnp.asarray(t_hi, dtype),
+            tendon_limit_stiffness=jnp.asarray(t_klim, dtype),
             gravity_comp=jnp.asarray(
                 [1.0 if b.gravity_comp else 0.0 for b in bodies], dtype
             ),

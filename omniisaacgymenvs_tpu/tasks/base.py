@@ -77,6 +77,18 @@ class RLTask:
     def _dr_on(self):
         return self.randomizer is not None and self.randomizer.randomize
 
+    @property
+    def timeout_progress(self) -> int:
+        """Progress value at/after which an episode ends by time limit.
+        Nearly every task terminates at `progress >= max_episode_length - 1`
+        (reference tasks/shared/locomotion.py:257-268, in_hand_manipulation
+        .py:388, etc.); tasks with a different convention (Cartpole's
+        `>= max_episode_length`, tasks/cartpole.py:155-160) override this so
+        EnvState.timeout is true EXACTLY when the episode ended by time
+        limit — rl_games value_bootstrap (`rewards += gamma*values*
+        time_outs`) keys off it."""
+        return self.max_episode_length - 1
+
     # ------------------------------------------------------------------
     def initial_carry(self) -> Any:
         return ()
@@ -95,6 +107,24 @@ class RLTask:
 
     def reward_done(self, obs, action, phys, carry, progress):
         raise NotImplementedError
+
+    def adjust_progress(self, carry, progress):
+        """Post-reward progress adjustment hook. In-hand tasks with
+        maxConsecutiveSuccesses > 0 zero the progress counter on goal hits
+        (reference in_hand_manipulation.py:385-386) — the adjusted value is
+        what the time-limit/timeout check must see."""
+        return progress
+
+    # -- cross-env episode statistics --------------------------------
+    # Per-env metrics can't express batch reductions (e.g. the reference's
+    # completed-episode consecutive-success EMA, in_hand_manipulation
+    # .py:394-396). The learner carries a stats pytree and calls
+    # episode_stats_update(stats, es_batched) after every env step.
+    def episode_stats_init(self) -> Dict[str, jax.Array]:
+        return {}
+
+    def episode_stats_update(self, stats, es):
+        return stats
 
     # ------------------------------------------------------------------
     def reset(self, rng: jax.Array) -> EnvState:
@@ -171,6 +201,7 @@ class RLTask:
         reward, done, carry, metrics = self.reward_done(
             obs, action, phys, carry, progress
         )
+        progress = self.adjust_progress(carry, progress)
         if self._dr_on:
             # reference envs/vec_env_rlgames.py:70-71 — randomize
             # observations after post_physics_step, before clipping
@@ -199,7 +230,7 @@ class RLTask:
             states=states,
             reward=reward,
             done=done,
-            timeout=jnp.asarray(progress >= self.max_episode_length),
+            timeout=jnp.asarray(progress >= self.timeout_progress),
             progress=progress,
             metrics=metrics,
         )

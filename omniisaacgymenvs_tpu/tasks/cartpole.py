@@ -27,6 +27,13 @@ class CartpoleTask(RLTask):
     num_actions = 1
     max_episode_length = 500
 
+    @property
+    def timeout_progress(self) -> int:
+        # Cartpole terminates by time at `progress >= max_episode_length`
+        # (reference tasks/cartpole.py:155-160), one step later than the
+        # other tasks' `- 1` convention
+        return self.max_episode_length
+
     def __init__(self, cfg: dict | None = None):
         cfg = cfg or {}
         env_cfg = cfg.get("env", {})

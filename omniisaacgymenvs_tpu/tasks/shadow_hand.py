@@ -53,9 +53,9 @@ class ShadowHandTask(InHandManipulationTask):
         self.actuated_dof_indices = jnp.asarray(
             sorted(m.dof_index(n) for n in shm.ACTUATED_JOINT_NAMES)
         )
-        self.coupled_pairs = tuple(
-            (m.dof_index(f), m.dof_index(l)) for f, l in shm.COUPLED.items()
-        )
+        # J0 distal joints are tendon-coupled in the MODEL (force level,
+        # models/shadow_hand.py add_fixed_tendon) — no target mirroring
+        self.coupled_pairs = ()
         self._post_model_init()
 
     # ------------------------------------------------------------------

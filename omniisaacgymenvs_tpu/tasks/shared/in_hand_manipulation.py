@@ -57,6 +57,7 @@ class InHandManipulationTask(RLTask):
         self.act_moving_average = env_cfg.get("actionsMovingAverage", 1.0)
         self.max_episode_length = env_cfg.get("episodeLength", 600)
         self.max_consecutive_successes = env_cfg.get("maxConsecutiveSuccesses", 0)
+        self.av_factor = env_cfg.get("averFactor", 0.1)
         self.clip_obs = env_cfg.get("clipObservations", 5.0)
         self.clip_actions = env_cfg.get("clipActions", 1.0)
         self.decimation = env_cfg.get("controlFrequencyInv", 2)
@@ -84,9 +85,36 @@ class InHandManipulationTask(RLTask):
         )
 
     def initial_metrics(self):
-        return dict(
-            successes=jnp.zeros(()), consecutive_successes=jnp.zeros(())
+        return dict(successes=jnp.zeros(()))
+
+    # -- cross-env episode statistics (consumed by the learner) --------
+    def episode_stats_init(self):
+        return dict(consecutive_successes=jnp.zeros(()))
+
+    def episode_stats_update(self, stats, es):
+        """Reference completed-episode EMA (in_hand_manipulation.py:394-396):
+        cons' = where(num_resets > 0,
+                      av*sum(successes*resets)/num_resets + (1-av)*cons,
+                      cons) — a BATCH reduction over all envs, computed once
+        per env step on the batched post-step EnvState."""
+        resets = es.done.astype(jnp.float32)
+        num_resets = jnp.sum(resets)
+        finished = jnp.sum(es.metrics["successes"] * resets)
+        cons = stats["consecutive_successes"]
+        cons = jnp.where(
+            num_resets > 0,
+            self.av_factor * finished / jnp.maximum(num_resets, 1.0)
+            + (1.0 - self.av_factor) * cons,
+            cons,
         )
+        return dict(stats, consecutive_successes=cons)
+
+    def adjust_progress(self, carry, progress):
+        if self.max_consecutive_successes > 0:
+            # reference in_hand_manipulation.py:385-386 — goal hits zero the
+            # progress counter before the time-limit check
+            return jnp.where(carry["reset_goal"], 0, progress)
+        return progress
 
     def sample_reset(self, rng):
         m = self.model
@@ -204,8 +232,5 @@ class InHandManipulationTask(RLTask):
             )
 
         carry = dict(carry, successes=successes, reset_goal=goal_reset)
-        metrics = dict(
-            successes=successes,
-            consecutive_successes=jnp.where(done, successes, 0.0),
-        )
+        metrics = dict(successes=successes)
         return reward, done, carry, metrics

@@ -173,3 +173,77 @@ def test_score_window_survives_many_episode_ends_per_epoch():
         # episode length can never exceed the 2-step cap (a diverging mean
         # would blow through this immediately)
         assert 0.0 <= h["mean_ep_length"] <= 2.5, hist
+
+
+def test_value_bootstrap_changes_gae_targets_on_timeouts():
+    """An episode ending purely by time limit must trigger the rl_games
+    value_bootstrap reward patch (rewards += gamma*values*time_outs) —
+    regression for the round-1 off-by-one where EnvState.timeout fired one
+    step after the tasks' `progress >= max_episode_length - 1` termination
+    and the bootstrap was dead on every task."""
+    import dataclasses
+
+    import jax
+
+    task = get_task("Cartpole")
+    task.max_episode_length = 8  # timeouts occur inside a 16-step horizon
+    env = VecEnv(task, 8)
+    cfg = PPOConfig(horizon_length=16, minibatch_size=64, mini_epochs=1,
+                    units=(16,), value_bootstrap=True)
+    tr = PPOTrainer(env, cfg, seed=0)
+    _, traj_b, last_b, _ = jax.jit(tr._rollout)(tr.state)
+
+    tr2 = PPOTrainer(env, dataclasses.replace(cfg, value_bootstrap=False),
+                     seed=0)
+    _, traj_n, last_n, _ = jax.jit(tr2._rollout)(tr2.state)
+
+    # identical policies/seeds -> identical actions; only the shaped reward
+    # at timeout steps may differ, and it MUST differ somewhere
+    np.testing.assert_allclose(
+        np.asarray(traj_b["action"]), np.asarray(traj_n["action"]), atol=1e-6
+    )
+    dr = np.abs(np.asarray(traj_b["reward"]) - np.asarray(traj_n["reward"]))
+    assert dr.max() > 1e-4, "value_bootstrap changed nothing"
+
+    adv_b, ret_b = tr._gae(traj_b, last_b)
+    adv_n, ret_n = tr2._gae(traj_n, last_n)
+    assert np.abs(np.asarray(ret_b) - np.asarray(ret_n)).max() > 1e-4
+
+
+def test_consecutive_successes_reference_ema():
+    """InHandManipulationTask.episode_stats_update must implement the
+    reference completed-episode EMA (in_hand_manipulation.py:394-396), not a
+    mean over all envs."""
+    import types
+
+    import jax.numpy as jnp
+
+    task = get_task("AllegroHand")
+    av = task.av_factor
+    stats = task.episode_stats_init()
+    assert float(stats["consecutive_successes"]) == 0.0
+
+    es = types.SimpleNamespace(
+        done=jnp.array([True, False, True, False]),
+        metrics={"successes": jnp.array([4.0, 9.0, 2.0, 9.0])},
+    )
+    stats = task.episode_stats_update(stats, es)
+    want = av * (4.0 + 2.0) / 2.0  # only DONE envs count
+    np.testing.assert_allclose(
+        float(stats["consecutive_successes"]), want, rtol=1e-6
+    )
+    # a step with no resets leaves the EMA untouched
+    es2 = types.SimpleNamespace(
+        done=jnp.array([False] * 4),
+        metrics={"successes": jnp.array([5.0] * 4)},
+    )
+    stats2 = task.episode_stats_update(stats, es2)
+    np.testing.assert_allclose(
+        float(stats2["consecutive_successes"]), want, rtol=1e-6
+    )
+    # second reset step blends with factor (1 - av)
+    stats3 = task.episode_stats_update(stats2, es)
+    want3 = av * 3.0 + (1 - av) * want
+    np.testing.assert_allclose(
+        float(stats3["consecutive_successes"]), want3, rtol=1e-6
+    )
