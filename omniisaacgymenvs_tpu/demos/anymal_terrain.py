@@ -69,7 +69,7 @@ def main(argv=None):
         )
         carry["commands"] = cmds
         es = es.replace(carry=carry)
-        mu, _, _, _ = trainer._policy(ts.params, ts, es.obs, es.states, ())
+        mu, *_ = trainer._policy(ts.params, ts, es.obs, es.states, ())
         return env._step_fn(es, jnp.clip(mu, -1, 1))
 
     dt = task.dt

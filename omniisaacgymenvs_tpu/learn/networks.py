@@ -77,6 +77,36 @@ class CentralValue(nn.Module):
         return nn.Dense(1, dtype=self.dtype)(x)[..., 0].astype(jnp.float32)
 
 
+class LSTMCentralValue(nn.Module):
+    """LSTM-before-MLP central value on privileged states (rl_games
+    central_value_config with an rnn block — reference
+    cfg/train/ShadowHandOpenAI_LSTMPPO.yaml:80-105: lstm 1024 + mlp [512])."""
+
+    lstm_units: int = 1024
+    units: Sequence[int] = (512,)
+    activation: str = "relu"
+    layer_norm: bool = True
+    dtype: Optional[Any] = None
+
+    @nn.compact
+    def __call__(self, states, hidden):
+        act = _ACTS[self.activation]
+        h, c = hidden
+        (c2, h2), out = nn.OptimizedLSTMCell(
+            self.lstm_units, name="lstm", dtype=self.dtype
+        )((c, h), states)
+        x = out
+        if self.layer_norm:
+            x = nn.LayerNorm(dtype=self.dtype)(x)
+        for u in self.units:
+            x = act(nn.Dense(u, dtype=self.dtype)(x))
+        value = nn.Dense(1, dtype=self.dtype)(x)[..., 0]
+        return (
+            value.astype(jnp.float32),
+            (h2.astype(jnp.float32), c2.astype(jnp.float32)),
+        )
+
+
 class LSTMActorCritic(nn.Module):
     """LSTM-before-MLP actor-critic (rl_games rnn config: units 1024,
     layer_norm, before-mlp — reference cfg/train/ShadowHandOpenAI_LSTMPPO

@@ -30,6 +30,7 @@ from omniisaacgymenvs_tpu.learn.networks import (
     ActorCritic,
     CentralValue,
     LSTMActorCritic,
+    LSTMCentralValue,
     gaussian_entropy,
     gaussian_kl,
     gaussian_logprob,
@@ -66,10 +67,20 @@ class PPOConfig:
     sigma_init: float = 0.0   # initial log-std (rl_games sigma_init val)
     lr_min: float = 1e-6
     lr_max: float = 1e-2
-    # asymmetric actor-critic: separate critic on privileged states
-    # (rl_games central_value_config, cfg/train/ShadowHandOpenAI_FFPPO.yaml)
+    # asymmetric actor-critic: separate critic on privileged states with its
+    # OWN optimizer, minibatch size, mini-epochs and learning rate
+    # (rl_games central_value_config, cfg/train/ShadowHandOpenAI_FFPPO
+    # .yaml:74-95, LSTM variant :80-105)
     central_value: bool = False
     cv_units: Sequence[int] = (512, 512, 256, 128)
+    cv_activation: str = "elu"
+    cv_minibatch_size: int = 8192
+    cv_mini_epochs: int = 8
+    cv_learning_rate: float = 5e-4
+    # LSTM central value (ShadowHandOpenAI_LSTMPPO central_value_config
+    # network.rnn — only valid together with rnn="lstm" on the actor)
+    cv_rnn: Optional[str] = None
+    cv_rnn_units: int = 1024
     # recurrent policy (rl_games rnn block, ShadowHandOpenAI_LSTMPPO.yaml)
     rnn: Optional[str] = None      # None | "lstm"
     rnn_units: int = 1024
@@ -89,7 +100,12 @@ class TrainState:
     states_norm: RunningNorm   # for the central-value critic input
     es: Any                  # batched EnvState
     rng: jax.Array
-    hidden: Any              # RNN carry ((N,u),(N,u)) or ()
+    hidden: Any              # actor RNN carry ((N,u),(N,u)) or ()
+    # separate central-value training state (rl_games CentralValueTrain:
+    # own network/optimizer/minibatching, cfg central_value_config)
+    cv_params: Any
+    cv_opt_state: Any
+    cv_hidden: Any           # CV LSTM carry ((N,u),(N,u)) or ()
     ep_ret: jax.Array        # (N,) running episode reward (raw)
     ep_len: jax.Array        # (N,)
     # running means over the last ~100 completed episodes (rl_games
@@ -130,18 +146,36 @@ class PPOTrainer:
                 sigma_init=cfg.sigma_init,
                 dtype=net_dtype,
             )
-        self.cv_net = (
-            CentralValue(
+        self.is_cv_rnn = self.use_cv and cfg.cv_rnn == "lstm"
+        if self.is_cv_rnn:
+            assert self.is_rnn, "LSTM central value requires an LSTM actor"
+            self.cv_net = LSTMCentralValue(
+                lstm_units=cfg.cv_rnn_units,
                 units=tuple(cfg.cv_units),
-                activation=cfg.activation,
+                activation=cfg.cv_activation,
                 dtype=net_dtype,
             )
-            if self.use_cv
-            else None
-        )
+        elif self.use_cv:
+            self.cv_net = CentralValue(
+                units=tuple(cfg.cv_units),
+                activation=cfg.cv_activation,
+                dtype=net_dtype,
+            )
+        else:
+            self.cv_net = None
         self.opt = optax.chain(
             optax.clip_by_global_norm(cfg.grad_norm),
             optax.scale_by_adam(eps=1e-8),
+        )
+        # the central value gets its OWN optimizer (rl_games
+        # CentralValueTrain) with a fixed configured learning rate
+        self.cv_opt = (
+            optax.chain(
+                optax.clip_by_global_norm(cfg.grad_norm),
+                optax.scale_by_adam(eps=1e-8),
+            )
+            if self.use_cv
+            else None
         )
         rng = jax.random.PRNGKey(seed)
         rng, k_init, k_cv = jax.random.split(rng, 3)
@@ -158,10 +192,25 @@ class PPOTrainer:
             hidden = ()
             ac_params = self.net.init(k_init, jnp.zeros((1, env.num_obs)))
         params = {"ac": ac_params}
-        if self.use_cv:
-            params["cv"] = self.cv_net.init(
+        cv_params = ()
+        cv_opt_state = ()
+        cv_hidden = ()
+        if self.is_cv_rnn:
+            cv_hidden = (
+                jnp.zeros((n, cfg.cv_rnn_units)),
+                jnp.zeros((n, cfg.cv_rnn_units)),
+            )
+            cv_params = self.cv_net.init(
+                k_cv, jnp.zeros((1, env.num_states)),
+                (jnp.zeros((1, cfg.cv_rnn_units)),
+                 jnp.zeros((1, cfg.cv_rnn_units))),
+            )
+        elif self.use_cv:
+            cv_params = self.cv_net.init(
                 k_cv, jnp.zeros((1, env.num_states))
             )
+        if self.use_cv:
+            cv_opt_state = self.cv_opt.init(cv_params)
         es = env.reset(seed=seed)
         self.state = TrainState(
             params=params,
@@ -173,6 +222,9 @@ class PPOTrainer:
             es=es,
             rng=rng,
             hidden=hidden,
+            cv_params=cv_params,
+            cv_opt_state=cv_opt_state,
+            cv_hidden=cv_hidden,
             ep_ret=jnp.zeros(n),
             ep_len=jnp.zeros(n),
             score_mean=jnp.zeros(()),
@@ -188,7 +240,11 @@ class PPOTrainer:
         self._epoch_jit = jax.jit(self._epoch)
 
     # ------------------------------------------------------------------
-    def _policy(self, params, ts, obs, states, hidden):
+    def _policy(self, params, ts, obs, states, hidden, cv_hidden=()):
+        """Actor forward + value estimate. With a central value the value
+        comes from the separate CV network on the privileged states
+        (rl_games get_central_value); cv_hidden carries the CV LSTM state.
+        Returns (mu, log_std, value, hidden, cv_hidden)."""
         x = ts.obs_norm.normalize(obs) if self.cfg.normalize_input else obs
         if self.is_rnn:
             mu, log_std, v, hidden = self.net.apply(params["ac"], x, hidden)
@@ -200,20 +256,23 @@ class PPOTrainer:
                 if self.cfg.normalize_input
                 else states
             )
-            v = self.cv_net.apply(params["cv"], sx)
+            if self.is_cv_rnn:
+                v, cv_hidden = self.cv_net.apply(ts.cv_params, sx, cv_hidden)
+            else:
+                v = self.cv_net.apply(ts.cv_params, sx)
         if self.cfg.normalize_value:
             v = ts.value_norm.denormalize(v)
-        return mu, log_std, v, hidden
+        return mu, log_std, v, hidden, cv_hidden
 
     def _rollout(self, ts: TrainState):
         cfg = self.cfg
         step_env = jax.vmap(self.env.task.step)
 
         def body(carry, _):
-            (es, rng, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt,
-             task_stats) = carry
-            mu, log_std, value, hidden_post = self._policy(
-                ts.params, ts, es.obs, es.states, hidden
+            (es, rng, hidden, cv_hidden, ep_ret, ep_len, fin_ret, fin_len,
+             fin_cnt, task_stats) = carry
+            mu, log_std, value, hidden_post, cv_hidden_post = self._policy(
+                ts.params, ts, es.obs, es.states, hidden, cv_hidden
             )
             rng, k = jax.random.split(rng)
             action = mu + jnp.exp(log_std) * jax.random.normal(k, mu.shape)
@@ -230,8 +289,13 @@ class PPOTrainer:
                 hidden_next = tuple(
                     jnp.where(d, jnp.zeros_like(x), x) for x in hidden_post
                 )
+                cv_hidden_next = tuple(
+                    jnp.where(d, jnp.zeros_like(x), x)
+                    for x in cv_hidden_post
+                )
             else:
                 hidden_next = hidden_post
+                cv_hidden_next = cv_hidden_post
             # episode stats
             ep_ret = ep_ret + raw_rew
             ep_len = ep_len + 1.0
@@ -256,27 +320,30 @@ class PPOTrainer:
             if self.is_rnn:
                 out["hidden_h"] = hidden[0]
                 out["hidden_c"] = hidden[1]
+            if self.is_cv_rnn:
+                out["cv_hidden_h"] = cv_hidden[0]
+                out["cv_hidden_c"] = cv_hidden[1]
             return (
-                es2, rng, hidden_next, ep_ret, ep_len, fin_ret, fin_len,
-                fin_cnt, task_stats,
+                es2, rng, hidden_next, cv_hidden_next, ep_ret, ep_len,
+                fin_ret, fin_len, fin_cnt, task_stats,
             ), out
 
         rng, k = jax.random.split(ts.rng)
         init = (
-            ts.es, k, ts.hidden, ts.ep_ret, ts.ep_len, 0.0, 0.0, 0.0,
-            ts.task_stats,
+            ts.es, k, ts.hidden, ts.cv_hidden, ts.ep_ret, ts.ep_len,
+            0.0, 0.0, 0.0, ts.task_stats,
         )
         (
-            es, _, hidden, ep_ret, ep_len, fin_ret, fin_len, fin_cnt,
-            task_stats,
+            es, _, hidden, cv_hidden, ep_ret, ep_len, fin_ret, fin_len,
+            fin_cnt, task_stats,
         ), traj = jax.lax.scan(body, init, None, length=cfg.horizon_length)
         # bootstrap value of the final state
-        _, _, last_value, _ = self._policy(
-            ts.params, ts, es.obs, es.states, hidden
+        _, _, last_value, _, _ = self._policy(
+            ts.params, ts, es.obs, es.states, hidden, cv_hidden
         )
         ts = ts.replace(
-            es=es, rng=rng, hidden=hidden, ep_ret=ep_ret, ep_len=ep_len,
-            task_stats=task_stats,
+            es=es, rng=rng, hidden=hidden, cv_hidden=cv_hidden,
+            ep_ret=ep_ret, ep_len=ep_len, task_stats=task_stats,
         )
         stats = dict(fin_ret=fin_ret, fin_len=fin_len, fin_cnt=fin_cnt)
         return ts, traj, last_value, stats
@@ -328,13 +395,6 @@ class PPOTrainer:
             v_pred_n = jnp.swapaxes(v_pred_n, 0, 1)
         else:
             mu, log_std, v_pred_n = self.net.apply(params["ac"], x)
-        if self.use_cv:
-            sx = (
-                ts.states_norm.normalize(mb["states"])
-                if cfg.normalize_input
-                else mb["states"]
-            )
-            v_pred_n = self.cv_net.apply(params["cv"], sx)
 
         logp = gaussian_logprob(mu, log_std, mb["action"])
         ratio = jnp.exp(logp - mb["logp"])
@@ -345,22 +405,15 @@ class PPOTrainer:
         surr2 = adv * jnp.clip(ratio, 1 - cfg.e_clip, 1 + cfg.e_clip)
         actor_loss = -jnp.mean(jnp.minimum(surr1, surr2))
 
-        if cfg.normalize_value:
-            target_n = ts.value_norm.normalize(mb["ret"], clip=jnp.inf)
-            v_old_n = ts.value_norm.normalize(mb["value"], clip=jnp.inf)
+        if self.use_cv:
+            # the critic is the separate central-value network, trained by
+            # _cv_update with its own optimizer/minibatching (rl_games
+            # CentralValueTrain) — the actor update carries no critic term
+            critic_loss = jnp.zeros(())
         else:
-            target_n = mb["ret"]
-            v_old_n = mb["value"]
-        if cfg.clip_value:
-            v_clipped = v_old_n + jnp.clip(
-                v_pred_n - v_old_n, -cfg.e_clip, cfg.e_clip
+            critic_loss = 0.5 * jnp.mean(
+                self._value_loss(v_pred_n, mb["value"], mb["ret"], ts)
             )
-            v_loss = jnp.maximum(
-                (v_pred_n - target_n) ** 2, (v_clipped - target_n) ** 2
-            )
-        else:
-            v_loss = (v_pred_n - target_n) ** 2
-        critic_loss = 0.5 * jnp.mean(v_loss)
 
         entropy = jnp.mean(gaussian_entropy(log_std))
         b_high = jnp.clip(mu - 1.1, 0.0, None) ** 2
@@ -382,6 +435,104 @@ class PPOTrainer:
             kl=kl,
         )
         return total, aux
+
+    def _value_loss(self, v_pred_n, v_old, ret, ts):
+        """Per-sample clipped value loss in normalized-value space (shared
+        by the actor's critic head and the central value)."""
+        cfg = self.cfg
+        if cfg.normalize_value:
+            target_n = ts.value_norm.normalize(ret, clip=jnp.inf)
+            v_old_n = ts.value_norm.normalize(v_old, clip=jnp.inf)
+        else:
+            target_n = ret
+            v_old_n = v_old
+        if cfg.clip_value:
+            v_clipped = v_old_n + jnp.clip(
+                v_pred_n - v_old_n, -cfg.e_clip, cfg.e_clip
+            )
+            return jnp.maximum(
+                (v_pred_n - target_n) ** 2, (v_clipped - target_n) ** 2
+            )
+        return (v_pred_n - target_n) ** 2
+
+    def _cv_loss(self, cv_params, mb, ts):
+        """Central-value loss over a minibatch (rl_games CentralValueTrain
+        calc_gradients). RNN mode: fields are (B, seq, ...) sequences with
+        stored initial hidden; the CV LSTM is re-run over each sequence."""
+        cfg = self.cfg
+        sx = (
+            ts.states_norm.normalize(mb["states"])
+            if cfg.normalize_input
+            else mb["states"]
+        )
+        if self.is_cv_rnn:
+            hidden = (mb["cv_hidden_h"], mb["cv_hidden_c"])
+
+            def cell(hid, xt):
+                v, hid = self.cv_net.apply(cv_params, xt, hid)
+                return hid, v
+
+            _, v_pred_n = jax.lax.scan(cell, hidden, jnp.swapaxes(sx, 0, 1))
+            v_pred_n = jnp.swapaxes(v_pred_n, 0, 1)
+        else:
+            v_pred_n = self.cv_net.apply(cv_params, sx)
+        return 0.5 * jnp.mean(
+            self._value_loss(v_pred_n, mb["value"], mb["ret"], ts)
+        )
+
+    def _cv_update(self, ts: TrainState, dataset, num_slices):
+        """cv_mini_epochs x cv_minibatch SGD on the central value with its
+        own optimizer and FIXED cv_learning_rate (rl_games CentralValueTrain
+        train_net; cfg/train/ShadowHandOpenAI_FFPPO.yaml:74-82)."""
+        cfg = self.cfg
+        grad_fn = jax.value_and_grad(self._cv_loss)
+        lr = cfg.cv_learning_rate
+        mb_slices = (
+            max(cfg.cv_minibatch_size // cfg.seq_len, 1)
+            if self.is_cv_rnn
+            else cfg.cv_minibatch_size
+        )
+        mb_slices = min(mb_slices, num_slices)
+        while num_slices % mb_slices:
+            mb_slices -= 1
+        num_mb = num_slices // mb_slices
+
+        def mb_update(carry, mb):
+            cv_params, opt_state = carry
+            loss, grads = grad_fn(cv_params, mb, ts)
+            gok = jnp.isfinite(optax.global_norm(grads))
+            grads = jax.tree.map(
+                lambda g: jnp.where(gok, g, jnp.zeros_like(g)), grads
+            )
+            updates, opt_state = self.cv_opt.update(
+                grads, opt_state, cv_params
+            )
+            cv_params = jax.tree.map(
+                lambda p, u: p - lr * u, cv_params, updates
+            )
+            return (cv_params, opt_state), jnp.nan_to_num(loss)
+
+        def epoch_body(carry, key):
+            perm = jax.random.permutation(key, num_slices)
+            shuffled = jax.tree.map(lambda x: x[perm], dataset)
+            mbs = jax.tree.map(
+                lambda x: x[: num_mb * mb_slices].reshape(
+                    (num_mb, mb_slices) + x.shape[1:]
+                ),
+                shuffled,
+            )
+            return jax.lax.scan(mb_update, carry, mbs)
+
+        rng, *keys = jax.random.split(ts.rng, cfg.cv_mini_epochs + 1)
+        (cv_params, cv_opt_state), losses = jax.lax.scan(
+            epoch_body,
+            (ts.cv_params, ts.cv_opt_state),
+            jnp.stack(keys),
+        )
+        ts = ts.replace(
+            cv_params=cv_params, cv_opt_state=cv_opt_state, rng=rng
+        )
+        return ts, jnp.mean(losses)
 
     def _update(self, ts: TrainState, dataset, advs_mean, advs_std,
                 num_slices, mb_slices):
@@ -478,6 +629,7 @@ class PPOTrainer:
 
         T = cfg.horizon_length
         N = self.env.num_envs
+        hid_keys = {"hidden_h", "hidden_c", "cv_hidden_h", "cv_hidden_c"}
         if self.is_rnn:
             # sequence slices: (T, N, ...) -> (T/seq * N, seq, ...);
             # hidden fields keep only each sequence's initial state
@@ -489,26 +641,32 @@ class PPOTrainer:
                 x = jnp.moveaxis(x, 2, 0)  # (N, nch, seq, ...)
                 return x.reshape((N * nch, seq) + x.shape[3:])
 
-            skip = {"hidden_h", "hidden_c", "reward", "done"}
-            if not self.use_cv:
-                skip.add("states")
+            def hid_start(x):
+                h = x.reshape((nch, seq, N, -1))[:, 0]
+                return jnp.moveaxis(h, 1, 0).reshape((N * nch, -1))
+
+            skip = hid_keys | {"reward", "done", "states"}
             dataset = {
                 k: to_seq(v) for k, v in traj.items() if k not in skip
             }
             for k in ("hidden_h", "hidden_c"):
-                h = traj[k].reshape((nch, seq, N, -1))[:, 0]
-                h = jnp.moveaxis(h, 1, 0).reshape((N * nch, -1))
-                dataset[k] = h
+                dataset[k] = hid_start(traj[k])
             num_slices = N * nch
             mb_slices = max(cfg.minibatch_size // seq, 1)
             mb_slices = min(mb_slices, num_slices)
             while num_slices % mb_slices:
                 mb_slices -= 1
+            if self.use_cv:
+                cv_dataset = {
+                    k: to_seq(traj[k]) for k in ("states", "value", "ret")
+                }
+                if self.is_cv_rnn:
+                    for k in ("cv_hidden_h", "cv_hidden_c"):
+                        cv_dataset[k] = hid_start(traj[k])
+                cv_slices = num_slices
         else:
             flat = lambda x: x.reshape((T * N,) + x.shape[2:])
-            skip = {"reward", "done"}
-            if not self.use_cv:
-                skip.add("states")
+            skip = {"reward", "done", "states"}
             dataset = {
                 k: flat(v) for k, v in traj.items() if k not in skip
             }
@@ -516,12 +674,22 @@ class PPOTrainer:
             mb_slices = min(cfg.minibatch_size, num_slices)
             while num_slices % mb_slices:
                 mb_slices -= 1
+            if self.use_cv:
+                cv_dataset = {
+                    k: flat(traj[k]) for k in ("states", "value", "ret")
+                }
+                cv_slices = num_slices
 
         advs_mean = jnp.mean(advs)
         advs_std = jnp.std(advs)
+        if self.use_cv:
+            # central value first (rl_games train_epoch order), then actor
+            ts, cv_loss = self._cv_update(ts, cv_dataset, cv_slices)
         ts, aux = self._update(
             ts, dataset, advs_mean, advs_std, num_slices, mb_slices
         )
+        if self.use_cv:
+            aux["cv_loss"] = cv_loss
         ts = ts.replace(epoch=ts.epoch + 1)
         # fold this window's completed episodes into the ~100-episode
         # running means (incremental mean with the window capped at 100,
@@ -580,6 +748,9 @@ class PPOTrainer:
             # orbax rejects zero-size arrays; states_norm is (0,) when the
             # task has no asymmetric-critic states
             payload["states_norm"] = self.state.states_norm
+        if self.use_cv:
+            payload["cv_params"] = self.state.cv_params
+            payload["cv_opt_state"] = self.state.cv_opt_state
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
 
@@ -599,6 +770,9 @@ class PPOTrainer:
         )
         if self.env.num_states > 0:
             target["states_norm"] = self.state.states_norm
+        if self.use_cv:
+            target["cv_params"] = self.state.cv_params
+            target["cv_opt_state"] = self.state.cv_opt_state
         payload = ckptr.restore(path, item=target)
         self.state = self.state.replace(**payload)
 

@@ -49,9 +49,9 @@ def main(argv=None):
         ts = trainer.state
 
         def step(carry, _):
-            es, hidden = carry
-            mu, _v, _s, hidden = trainer._policy(
-                ts.params, ts, es.obs, es.states, hidden
+            es, hidden, cv_hidden = carry
+            mu, _v, _s, hidden, cv_hidden = trainer._policy(
+                ts.params, ts, es.obs, es.states, hidden, cv_hidden
             )
             es = env._step_fn(es, jnp.clip(mu, -1, 1))
             if trainer.is_rnn:
@@ -59,9 +59,12 @@ def main(argv=None):
                 hidden = tuple(
                     jnp.where(d, jnp.zeros_like(x), x) for x in hidden
                 )
+                cv_hidden = tuple(
+                    jnp.where(d, jnp.zeros_like(x), x) for x in cv_hidden
+                )
             # record env 0 only: joint coords, world body positions and the
             # scalar reward per step (body_pos feeds scripts/viewer.py)
-            return (es, hidden), (
+            return (es, hidden, cv_hidden), (
                 es.phys.q[0], es.phys.body_pos[0], es.reward[0]
             )
 
@@ -71,7 +74,9 @@ def main(argv=None):
             # the tunneled runtime costs ~25 ms per dispatch)
             return jax.lax.scan(step, carry, None, length=steps)
 
-        (es, _), (qs, body_pos, rews) = rollout((es, ts.hidden))
+        (es, _, _), (qs, body_pos, rews) = rollout(
+            (es, ts.hidden, ts.cv_hidden)
+        )
         rews = np.asarray(rews)
         np.savez(
             record,

@@ -39,9 +39,9 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
     ep_ret = jnp.zeros(env.num_envs)
 
     def step(carry, _):
-        es, hidden, ep_ret, total, count = carry
-        mu, _v, _s, hidden = trainer._policy(
-            ts.params, ts, es.obs, es.states, hidden
+        es, hidden, cv_hidden, ep_ret, total, count = carry
+        mu, _v, _s, hidden, cv_hidden = trainer._policy(
+            ts.params, ts, es.obs, es.states, hidden, cv_hidden
         )
         es = env._step_fn(es, jnp.clip(mu, -1.0, 1.0))
         if trainer.is_rnn:
@@ -49,18 +49,21 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
             hidden = tuple(
                 jnp.where(d, jnp.zeros_like(x), x) for x in hidden
             )
+            cv_hidden = tuple(
+                jnp.where(d, jnp.zeros_like(x), x) for x in cv_hidden
+            )
         ep_ret = ep_ret + es.reward
         total = total + jnp.where(es.done, ep_ret, 0.0)
         count = count + es.done
         ep_ret = jnp.where(es.done, 0.0, ep_ret)
-        return (es, hidden, ep_ret, total, count), None
+        return (es, hidden, cv_hidden, ep_ret, total, count), None
 
     @jax.jit
     def rollout(carry):
         return jax.lax.scan(step, carry, None, length=steps)[0]
 
-    es, _, ep_ret, total, count = rollout(
-        (es, ts.hidden, ep_ret, total, count)
+    es, _, _, ep_ret, total, count = rollout(
+        (es, ts.hidden, ts.cv_hidden, ep_ret, total, count)
     )
     n = float(jnp.sum(count))
     if n == 0:
@@ -105,8 +108,9 @@ def main(argv=None):
     # runs/<experiment>/trace (tracing/profiling aux subsystem; the
     # reference has none, SURVEY.md §5)
     profile_epochs = int(cfg.get("profile", 0) or 0)
+    history = []
     try:
-        trainer.train(
+        history = trainer.train(
             save_dir=os.path.join(run_dir, "nn"),
             save_frequency=train_c.get("save_frequency", 50),
             save_best_after=train_c.get("save_best_after", 100),
@@ -124,6 +128,11 @@ def main(argv=None):
         writer.close()
         if wandb_run is not None:
             wandb_run.finish()
+        # machine-readable learning record (consumed by LEARNING.json):
+        # per-epoch metrics incl. Episode/* task stats
+        if history:
+            with open(os.path.join(run_dir, "history.json"), "w") as f:
+                json.dump(history, f)
 
 
 if __name__ == "__main__":

@@ -70,6 +70,10 @@ class RLTask:
     # optional DR (utils/domain_randomization.Randomizer), attached by the
     # registry from the task yaml's domain_randomization block
     randomizer = None
+    # optional view-name -> {dofs, bodies, tendons} index map so the yaml's
+    # articulation/rigid-prim view blocks target the right model subset
+    # (reference view names like shadow_hand_view/object_view)
+    dr_views = None
 
     engine: PhysicsEngine
 

@@ -121,13 +121,24 @@ def ppo_config_kwargs(train_cfg: dict) -> dict:
         mixed_precision=c.get("mixed_precision", False),
         max_epochs=c.get("max_epochs", 100),
     )
-    # asymmetric central value (rl_games central_value_config)
+    # asymmetric central value with its own optimizer schedule (rl_games
+    # central_value_config, cfg/train/ShadowHandOpenAI_FFPPO.yaml:74-95)
     cv = c.get("central_value_config")
     if cv:
+        cv_net = cv.get("network", {})
+        cv_mlp = cv_net.get("mlp", {})
         kw["central_value"] = True
-        kw["cv_units"] = tuple(
-            cv.get("network", {}).get("mlp", {}).get("units", (512, 512, 256, 128))
+        kw["cv_units"] = tuple(cv_mlp.get("units", (512, 512, 256, 128)))
+        kw["cv_activation"] = cv_mlp.get("activation", "elu")
+        kw["cv_minibatch_size"] = cv.get(
+            "minibatch_size", c.get("minibatch_size", 8192)
         )
+        kw["cv_mini_epochs"] = cv.get("mini_epochs", 8)
+        kw["cv_learning_rate"] = float(cv.get("learning_rate", 5e-4))
+        cv_rnn = cv_net.get("rnn", {})
+        if cv_rnn:
+            kw["cv_rnn"] = cv_rnn.get("name", "lstm")
+            kw["cv_rnn_units"] = cv_rnn.get("units", 1024)
     # recurrent policy (rl_games rnn block under network)
     rnn = net.get("rnn", {})
     if rnn:

@@ -82,7 +82,7 @@ def test_evaluate_scan_matches_stepwise_loop():
     count = jnp.zeros(env.num_envs)
     ep_ret = jnp.zeros(env.num_envs)
     for _ in range(steps):
-        mu, _v, _s, hidden = tr._policy(
+        mu, _v, _s, hidden, _cvh = tr._policy(
             ts.params, ts, es.obs, es.states, hidden
         )
         es = env._step_fn(es, jnp.clip(mu, -1.0, 1.0))
@@ -247,3 +247,62 @@ def test_consecutive_successes_reference_ema():
     np.testing.assert_allclose(
         float(stats3["consecutive_successes"]), want3, rtol=1e-6
     )
+
+
+def _cartpole_with_states(n_envs):
+    """Cartpole exposing its obs as privileged states — a minimal
+    asymmetric-critic fixture (the real consumers are the ShadowHand OpenAI
+    variants, whose physics is too heavy for a CPU learning test)."""
+    task = get_task("Cartpole")
+    task.num_states = 4
+    orig_observe = task.observe
+
+    def observe(phys, carry, action):
+        obs, _, carry = orig_observe(phys, carry, action)
+        return obs, obs, carry
+
+    task.observe = observe
+    return VecEnv(task, n_envs)
+
+
+def test_central_value_learns_with_own_optimizer():
+    """Separate-CV PPO (rl_games central_value_config semantics: own
+    network/optimizer/minibatching, actor update carries no critic term)
+    must still learn cartpole."""
+    env = _cartpole_with_states(32)
+    cfg = PPOConfig(
+        horizon_length=32, minibatch_size=1024, mini_epochs=4,
+        critic_coef=4.0, reward_shaper_scale=0.1, units=(32, 32),
+        central_value=True, cv_units=(32, 32),
+        cv_minibatch_size=512, cv_mini_epochs=4, cv_learning_rate=1e-3,
+    )
+    tr = PPOTrainer(env, cfg, seed=42)
+    assert tr.use_cv and not tr.is_cv_rnn
+    hist = tr.train(max_epochs=150, log_every=10, log_fn=None,
+                    score_target=350.0)
+    best = max(h["mean_ep_reward"] for h in hist)
+    assert best > 250.0, f"best mean episode reward {best}"
+    for h in hist:
+        assert np.isfinite(h["cv_loss"])
+    # CV loss should come down as the value function fits
+    assert hist[-1]["cv_loss"] < hist[0]["cv_loss"] * 2
+
+
+def test_lstm_central_value_trains_finite():
+    """LSTM actor + LSTM central value (ShadowHandOpenAI_LSTMPPO.yaml
+    :80-105) — short run, finite metrics, both recurrent states engaged."""
+    env = _cartpole_with_states(16)
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=256, mini_epochs=2,
+        reward_shaper_scale=0.1, units=(16,), rnn="lstm", rnn_units=16,
+        seq_len=4, central_value=True, cv_units=(16,),
+        cv_minibatch_size=128, cv_mini_epochs=2, cv_learning_rate=1e-3,
+        cv_rnn="lstm", cv_rnn_units=16,
+    )
+    tr = PPOTrainer(env, cfg, seed=1)
+    assert tr.is_cv_rnn
+    hist = tr.train(max_epochs=10, log_every=1, log_fn=None)
+    for h in hist:
+        assert np.isfinite(h["mean_step_reward"])
+        assert np.isfinite(h["kl"])
+        assert np.isfinite(h["cv_loss"])

@@ -66,5 +66,21 @@ def test_train_yaml_one_epoch(name):
     # variant-specific wiring actually engaged
     if name == "ShadowHandOpenAI_LSTM":
         assert trainer.is_rnn
+        # the LSTM variant's central value is itself an LSTM with its own
+        # optimizer (reference ShadowHandOpenAI_LSTMPPO.yaml:80-105)
+        assert trainer.is_cv_rnn
+        assert trainer.state.cv_hidden != ()
     if name.startswith("ShadowHandOpenAI"):
         assert trainer.use_cv
+        # separate CV training state: own params + own optimizer state
+        assert trainer.state.cv_params != ()
+        assert trainer.state.cv_opt_state != ()
+        assert "cv" not in trainer.state.params
+        assert bool(jax.numpy.isfinite(metrics["cv_loss"])), (name, metrics)
+        # CV hyperparameters come from the yaml's central_value_config
+        if name == "ShadowHandOpenAI_FF":
+            assert trainer.cfg.cv_mini_epochs == 8
+            assert trainer.cfg.cv_learning_rate == 5e-4
+        else:
+            assert trainer.cfg.cv_mini_epochs == 4
+            assert trainer.cfg.cv_learning_rate == 1e-4
