@@ -1,6 +1,15 @@
-"""Benchmark: Humanoid simulation throughput (env-steps/s) on one chip.
+"""Benchmark: Humanoid simulation + PPO training throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
+headline metric stays random-policy simulation env-steps/s (comparable
+across rounds) — plus extra keys "train_steps_per_s" (full PPO epoch:
+rollout + GAE + minibatch SGD, the number a user training feels) and
+"learner_mfu" (actor/critic network FLOPs over device peak; physics FLOPs
+excluded, so this is the LEARNER'S MXU utilization — sim-RL is
+physics-dominated by design). BENCH_TRAIN=0 skips the training benchmark;
+BENCH_TRAIN_ENVS (default 8192) sets its batch;
+BENCH_PEAK_FLOPS (default 1.97e14, TPU v5e bf16 peak) sets the MFU
+denominator.
 
 The reference publishes no throughput numbers (BASELINE.md); Isaac-Gym-class
 systems report ~100k-600k Humanoid env-steps/s on one A100-class GPU
@@ -28,6 +37,13 @@ def main():
 
     import jax
 
+    if os.environ.get("BENCH_PLATFORM"):
+        # e.g. BENCH_PLATFORM=cpu for a smoke run while the TPU is busy
+        # (the axon sitecustomize ignores JAX_PLATFORMS)
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_oige_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
@@ -69,21 +85,79 @@ def main():
         best = max(best, num_envs * steps / dt)
 
     baseline = 600_000.0  # high-end single-GPU Isaac-class Humanoid steps/s
-    print(
-        json.dumps(
-            {
-                "metric": f"{task_name.lower()}_env_steps_per_s",
-                "value": round(best, 1),
-                "unit": "env-steps/s",
-                "vs_baseline": round(best / baseline, 3),
-            }
-        )
-    )
+    row = {
+        "metric": f"{task_name.lower()}_env_steps_per_s",
+        "value": round(best, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(best / baseline, 3),
+    }
+
+    # ---- training-epoch benchmark (PPO steps/s + learner MFU) ----
+    if os.environ.get("BENCH_TRAIN", "1") != "0":
+        try:
+            row.update(train_bench(task_name, devices))
+        except Exception as e:  # the headline metric must still print
+            print(f"# train bench failed: {e!r}", file=sys.stderr)
+
+    print(json.dumps(row))
     print(
         f"# device={devices[0].device_kind} x{len(devices)} num_envs={num_envs} "
         f"steps={steps} compile={compile_s:.1f}s",
         file=sys.stderr,
     )
+
+
+def _mlp_flops(sizes):
+    """2*MACs for a dense chain [in, h1, ..., out] per sample."""
+    return sum(2 * a * b for a, b in zip(sizes[:-1], sizes[1:]))
+
+
+def train_bench(task_name: str, devices, epochs: int = 8):
+    """Full PPO train-epoch throughput on the task's shipped train yaml
+    (rollout + GAE + minibatch SGD in one XLA program) and the learner-MFU
+    estimate from the actor/critic network FLOP count."""
+    import time
+
+    import jax
+
+    from omniisaacgymenvs_tpu.envs import VecEnv
+    from omniisaacgymenvs_tpu.learn import PPOConfig, PPOTrainer
+    from omniisaacgymenvs_tpu.tasks import get_task
+    from omniisaacgymenvs_tpu.utils.config import (
+        load_config, ppo_config_kwargs,
+    )
+
+    n = int(os.environ.get("BENCH_TRAIN_ENVS", "8192"))
+    cfg = load_config({"task": task_name})
+    task = get_task(task_name, cfg["task"])
+    env = VecEnv(task, n)
+    kw = ppo_config_kwargs(cfg["train"])
+    ppo = PPOConfig(**kw)
+    trainer = PPOTrainer(env, ppo, seed=0)
+
+    trainer.state, m = trainer._epoch_jit(trainer.state)  # compile
+    jax.block_until_ready(m)
+    t0 = time.time()
+    for _ in range(epochs):
+        trainer.state, m = trainer._epoch_jit(trainer.state)
+    jax.block_until_ready(m)
+    dt = time.time() - t0
+    steps_per_epoch = ppo.horizon_length * n
+    train_sps = epochs * steps_per_epoch / dt
+
+    # learner FLOPs per env-step: 1 policy fwd (rollout) + mini_epochs x
+    # (fwd + 2x bwd) over the dataset (every transition revisited each
+    # mini-epoch) + the obs-norm re-eval fwd
+    sizes = [env.num_obs, *ppo.units, env.num_actions + 1]
+    fwd = _mlp_flops(sizes)
+    per_step = fwd * (2 + 3 * ppo.mini_epochs)
+    peak = float(os.environ.get("BENCH_PEAK_FLOPS", "1.97e14"))
+    mfu = train_sps * per_step / (peak * max(len(devices), 1))
+    return {
+        "train_steps_per_s": round(train_sps, 1),
+        "train_envs": n,
+        "learner_mfu": round(mfu, 6),
+    }
 
 
 if __name__ == "__main__":

@@ -44,7 +44,20 @@ class VecEnv:
     def reset(self, seed: int = 0) -> EnvState:
         keys = jax.random.split(jax.random.PRNGKey(seed), self.num_envs)
         if self.mesh is not None:
-            keys = jax.device_put(keys, env_sharding(self.mesh, 2))
+            sh = env_sharding(self.mesh, 2)
+            if jax.process_count() > 1:
+                # multi-host: every process computes the SAME global key
+                # array (deterministic from seed) and contributes only its
+                # addressable shards — device_put of a host-global array
+                # would fail on non-addressable devices (SURVEY.md §2.4)
+                import numpy as np
+
+                arr = np.asarray(keys)
+                keys = jax.make_array_from_callback(
+                    arr.shape, sh, lambda idx: arr[idx]
+                )
+            else:
+                keys = jax.device_put(keys, sh)
         es = self._reset_fn(keys)
         return es
 

@@ -7,6 +7,11 @@ a thin, stateless adapter over a batched physics State pytree: getters read
 reference's env-indexed partial writes (`indices=`) and dof subsets
 (`joint_indices=`) without host syncs.
 
+Views are AXIS-AGNOSTIC: the same view works on a batched (N, ...) state
+at the VecEnv layer and on an unbatched per-env State inside the vmapped
+task hooks — which is how the tasks consume them (fingertips in the
+in-hand tasks, rotors in the flyers, knees/base in Anymal).
+
 Example:
     view = ArticulationView(model)            # whole articulation
     pos, quat = view.get_world_poses(state)
@@ -82,24 +87,25 @@ class ArticulationView:
 
     # -- getters (state: batched State) --------------------------------
     def get_world_poses(self, state: State):
-        pos = state.body_pos[:, self._root]
-        quat = state.body_quat[:, self._root]
+        pos = state.body_pos[..., self._root, :]
+        quat = state.body_quat[..., self._root, :]
         return pos, quat
 
     def get_velocities(self, state: State):
         """(N, 6) [linear, angular] world (reference get_velocities)."""
         return jnp.concatenate(
-            [state.body_lvel[:, self._root], state.body_avel[:, self._root]],
+            [state.body_lvel[..., self._root, :],
+             state.body_avel[..., self._root, :]],
             axis=-1,
         )
 
     def get_joint_positions(self, state: State, joint_indices=None):
         idx = self._dofs if joint_indices is None else self._dofs[jnp.asarray(joint_indices)]
-        return state.q[:, jnp.asarray(self.model.jq_idx)[idx]]
+        return state.q[..., jnp.asarray(self.model.jq_idx)[idx]]
 
     def get_joint_velocities(self, state: State, joint_indices=None):
         idx = self._dofs if joint_indices is None else self._dofs[jnp.asarray(joint_indices)]
-        return state.qd[:, jnp.asarray(self.model.jv_idx)[idx]]
+        return state.qd[..., jnp.asarray(self.model.jv_idx)[idx]]
 
     def get_force_sensor_forces(self, state: State):
         """(N, num_sensors, 6) (reference _physics_view
@@ -111,33 +117,33 @@ class ArticulationView:
                             joint_indices=None) -> State:
         idx = self._dofs if joint_indices is None else self._dofs[jnp.asarray(joint_indices)]
         qcols = jnp.asarray(self.model.jq_idx)[idx]
-        new_q = state.q.at[:, qcols].set(values)
+        new_q = state.q.at[..., qcols].set(values)
         return state.replace(q=_env_select(state.q, new_q, indices))
 
     def set_joint_velocities(self, state: State, values, indices=None,
                              joint_indices=None) -> State:
         idx = self._dofs if joint_indices is None else self._dofs[jnp.asarray(joint_indices)]
         vcols = jnp.asarray(self.model.jv_idx)[idx]
-        new_qd = state.qd.at[:, vcols].set(values)
+        new_qd = state.qd.at[..., vcols].set(values)
         return state.replace(qd=_env_select(state.qd, new_qd, indices))
 
     def set_world_poses(self, state: State, positions, orientations,
                         indices=None) -> State:
         assert self._free, "fixed-base articulations have no root pose dofs"
         qa = self._qa
-        new_q = state.q.at[:, qa : qa + 3].set(positions)
-        new_q = new_q.at[:, qa + 3 : qa + 7].set(orientations)
+        new_q = state.q.at[..., qa : qa + 3].set(positions)
+        new_q = new_q.at[..., qa + 3 : qa + 7].set(orientations)
         return state.replace(q=_env_select(state.q, new_q, indices))
 
     def set_velocities(self, state: State, velocities, indices=None) -> State:
         """velocities: (N, 6) [linear, angular] world -> body frame root."""
         assert self._free
         qa, va = self._qa, self._va
-        quat = state.q[:, qa + 3 : qa + 7]
+        quat = state.q[..., qa + 3 : qa + 7]
         v_b = rot.quat_rotate_inverse(quat, velocities[:, 0:3])
         w_b = rot.quat_rotate_inverse(quat, velocities[:, 3:6])
-        new_qd = state.qd.at[:, va : va + 3].set(w_b)
-        new_qd = new_qd.at[:, va + 3 : va + 6].set(v_b)
+        new_qd = state.qd.at[..., va : va + 3].set(w_b)
+        new_qd = new_qd.at[..., va + 3 : va + 6].set(v_b)
         return state.replace(qd=_env_select(state.qd, new_qd, indices))
 
 
@@ -153,13 +159,14 @@ class RigidPrimView:
 
     def get_world_poses(self, state: State):
         return (
-            state.body_pos[:, self._bodies],
-            state.body_quat[:, self._bodies],
+            state.body_pos[..., self._bodies, :],
+            state.body_quat[..., self._bodies, :],
         )
 
     def get_velocities(self, state: State):
         return jnp.concatenate(
-            [state.body_lvel[:, self._bodies], state.body_avel[:, self._bodies]],
+            [state.body_lvel[..., self._bodies, :],
+             state.body_avel[..., self._bodies, :]],
             axis=-1,
         )
 
@@ -170,7 +177,7 @@ class RigidPrimView:
         and needs `state` for the rotation)."""
         if not is_global:
             assert state is not None
-            quats = state.body_quat[:, self._bodies]
+            quats = state.body_quat[..., self._bodies, :]
             forces = rot.quat_rotate(quats, forces)
-        bf = control.body_force.at[:, self._bodies].add(forces)
+        bf = control.body_force.at[..., self._bodies, :].add(forces)
         return control.replace(body_force=bf)

@@ -88,5 +88,5 @@ def build_allegro_hand():
         mass=OBJECT_MASS, inertia=(obj_inertia,) * 3,
         default_pos=OBJECT_START,
     )
-    b.add_box_collider(obj, (0, 0, 0), (h, h, h), receive=True)
+    b.add_box_collider(obj, (0, 0, 0), (h, h, h), receive=True, dense=True)
     return b.finalize()

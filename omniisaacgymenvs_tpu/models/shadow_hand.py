@@ -61,9 +61,17 @@ def _seg_inertial(length, r=_FR, density=800.0):
     return BodyGeoms(density).capsule((0, 0, 0), (0, length, 0), r).finalize()
 
 
-def build_shadow_hand():
+def build_shadow_hand(self_collisions: bool = False):
+    """self_collisions: enable intra-hand collision (reference
+    cfg/task/ShadowHand.yaml:93 enable_self_collisions: True for the hand
+    actor). Finger capsules become same-tree receiver surfaces; candidate
+    pairs exclude directly-jointed links (PhysX adjacency filter). Off by
+    default here: it multiplies the pairwise-contact count ~6x (see
+    docs/performance.md) and the fingers' joint limits already prevent
+    most interpenetration."""
     b = ModelBuilder("ShadowHand")
     gc = dict(gravity_comp=True)
+    sc = dict(receive_self=self_collisions)
 
     forearm = b.add_body(
         "forearm", parent=-1, joint_type=JointType.FIXED,
@@ -132,7 +140,8 @@ def build_shadow_hand():
                 max_effort=0.9, **_F, **fkw, **gc,
             )
             b.add_capsule_collider(
-                proximal[name], (0, 0, 0), (0, _SEG["proximal"], 0), _FR
+                proximal[name], (0, 0, 0), (0, _SEG["proximal"], 0), _FR,
+                **sc,
             )
     mm, com, I = _seg_inertial(0.038)
     th3 = b.add_body(
@@ -141,7 +150,7 @@ def build_shadow_hand():
         limit=(0.0, 1.222), mass=mm, com=com, inertia=I,
         max_effort=1.45, **_F, **fkw, **gc,
     )
-    b.add_capsule_collider(th3, (0, 0, 0), (0, 0.038, 0), 0.011)
+    b.add_capsule_collider(th3, (0, 0, 0), (0, 0.038, 0), 0.011, **sc)
 
     # ---- level 5: middle (J1 / LFJ2 / THJ2) ----
     middle = {}
@@ -155,7 +164,8 @@ def build_shadow_hand():
                 max_effort=0.9, **_F, **fkw, **gc,
             )
             b.add_capsule_collider(
-                middle["LF_prox"], (0, 0, 0), (0, _SEG["proximal"], 0), _FR
+                middle["LF_prox"], (0, 0, 0), (0, _SEG["proximal"], 0), _FR,
+                **sc,
             )
         else:
             mm, com, I = _seg_inertial(_SEG["middle"])
@@ -167,7 +177,7 @@ def build_shadow_hand():
                 max_effort=0.7245, **_F, **fkw, **gc,
             )
             b.add_capsule_collider(
-                middle[name], (0, 0, 0), (0, _SEG["middle"], 0), _FR
+                middle[name], (0, 0, 0), (0, _SEG["middle"], 0), _FR, **sc
             )
     mm, com, I = _seg_inertial(0.032)
     th2 = b.add_body(
@@ -176,7 +186,7 @@ def build_shadow_hand():
         limit=(-0.209, 0.209), mass=mm, com=com, inertia=I,
         max_effort=0.99, **_F, **fkw, **gc,
     )
-    b.add_capsule_collider(th2, (0, 0, 0), (0, 0.032, 0), 0.010)
+    b.add_capsule_collider(th2, (0, 0, 0), (0, 0.032, 0), 0.010, **sc)
 
     # ---- level 6: distal (J0 coupled / LFJ1 / THJ1) ----
     tips = {}
@@ -191,7 +201,7 @@ def build_shadow_hand():
                 max_effort=0.7245, **_F, **fkw, **gc,
             )
             b.add_capsule_collider(
-                tips["LF_mid"], (0, 0, 0), (0, _SEG["middle"], 0), _FR
+                tips["LF_mid"], (0, 0, 0), (0, _SEG["middle"], 0), _FR, **sc
             )
         else:
             mm, com, I = _seg_inertial(_SEG["distal"])
@@ -203,7 +213,7 @@ def build_shadow_hand():
                 max_effort=0.7245, **_J0, **fkw, **gc,
             )
             b.add_capsule_collider(
-                tip, (0, 0, 0), (0, _SEG["distal"], 0), _FR, n_extra=1
+                tip, (0, 0, 0), (0, _SEG["distal"], 0), _FR, n_extra=1, **sc
             )
             b.add_force_sensor(tip)
             tips[name] = tip
@@ -223,7 +233,8 @@ def build_shadow_hand():
         limit=(0.0, 1.571), mass=mm, com=com, inertia=I,
         max_effort=0.7245, **_J0, **fkw, **gc,
     )
-    b.add_capsule_collider(lf_tip, (0, 0, 0), (0, _SEG["distal"], 0), _FR, n_extra=1)
+    b.add_capsule_collider(lf_tip, (0, 0, 0), (0, _SEG["distal"], 0), _FR,
+                           n_extra=1, **sc)
     b.add_force_sensor(lf_tip)
     mm, com, I = _seg_inertial(0.0275)
     th_tip = b.add_body(
@@ -232,8 +243,12 @@ def build_shadow_hand():
         limit=(-1.571, 0.0), mass=mm, com=com, inertia=I,
         max_effort=0.81, **_F, **fkw, **gc,
     )
-    b.add_capsule_collider(th_tip, (0, 0, 0), (0, 0.0275, 0), 0.010, n_extra=1)
+    b.add_capsule_collider(th_tip, (0, 0, 0), (0, 0.0275, 0), 0.010,
+                           n_extra=1, **sc)
     b.add_force_sensor(th_tip)
+
+    if self_collisions:
+        b.enable_self_collisions(forearm)
 
     # ---- fixed tendons: J0 follows J1 on the four fingers ----
     for follower, leader in COUPLED.items():
@@ -251,6 +266,6 @@ def build_shadow_hand():
         mass=OBJECT_MASS, inertia=(obj_inertia,) * 3,
         default_pos=OBJECT_START,
     )
-    b.add_box_collider(obj, (0, 0, 0), (h, h, h), receive=True, friction=1.0)
+    b.add_box_collider(obj, (0, 0, 0), (h, h, h), receive=True, friction=1.0, dense=True)
 
     return b.finalize()

@@ -248,6 +248,31 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     gz = [float(g) for g in gravity]
     kn, kdn, kt = float(contact.kn), float(contact.kd), float(contact.kt)
     mu0, fn_max = float(contact.mu), float(contact.fn_max)
+    # per-mass contact gains (auto_contact_params): EFFECTIVE masses with
+    # the rotational lever coupling (physics/contacts.py _eff_mass); ground
+    # point -> its own effective mass, pair -> the lighter of point/surface
+    from omniisaacgymenvs_tpu.physics.contacts import (
+        point_effective_masses, surface_effective_mass,
+    )
+
+    per_mass = bool(getattr(contact, "per_mass", False))
+    if per_mass:
+        kn_pm, kt_pm, fnm_pm = (
+            float(contact.kn_pm), float(contact.kt_pm), float(contact.fnm_pm)
+        )
+        meff_pt = point_effective_masses(model)
+
+    def point_gains(k):
+        if per_mass:
+            m_ = float(meff_pt[k])
+            return kn_pm * m_, kt_pm * m_, fnm_pm * m_
+        return kn, kt, fn_max
+
+    def pair_gains(pi, si):
+        if per_mass:
+            m_ = float(min(meff_pt[pi], surface_effective_mass(model, si)))
+            return kn_pm * m_, kt_pm * m_, fnm_pm * m_
+        return kn, kt, fn_max
     d_impl = h * (kd + damping + h * kp)
     ncp = cp_body.shape[0]
     # fixed tendons (physics/dynamics.py drive_torques tendon block)
@@ -279,8 +304,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
 
     n_planes = 3 * ncp if has_height else 0
     dr_sizes = {
-        "damping_scale": njd, "friction_scale": 1, "gravity_delta": 3,
-        "mass_scale": nb, "stiffness_scale": njd,
+        "damping_scale": njd, "friction_scale": nb, "geom_scale": nb,
+        "gravity_delta": 3, "limit_lower_delta": njd,
+        "limit_upper_delta": njd, "mass_scale": nb, "stiffness_scale": njd,
         "tendon_stiffness_scale": nt_, "tendon_damping_scale": nt_,
     }
     n_dr = sum(dr_sizes[k] for k in dr_keys)
@@ -376,17 +402,18 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             outs += lv[i]
         return outs
 
-    def _contact_force_scalar(pen, n, vrel, mu):
-        """Compliant Hunt-Crossley normal + capped viscous friction on
+    def _contact_force_scalar(pen, n, vrel, mu, kn_k, kt_k, fnm_k):
+        """Compliant Hunt-Crossley normal + stiction-capped friction on
         scalar fields (mirrors physics/contacts.py _contact_force)."""
         vn = _dot(vrel, n)
         vt = [vrel[k] - vn * n[k] for k in range(3)]
         fn = jnp.minimum(
-            kn * jnp.maximum(pen, 0.0) * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
-            fn_max,
+            kn_k * jnp.maximum(pen, 0.0)
+            * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
+            fnm_k,
         )
         vt_norm = jnp.sqrt(vt[0] * vt[0] + vt[1] * vt[1] + vt[2] * vt[2] + 1e-12)
-        ft_mag = jnp.minimum(mu * fn, kt * vt_norm)
+        ft_mag = jnp.minimum(mu * fn, kt_k * vt_norm)
         scale_t = ft_mag / (vt_norm + 1e-6)
         return [fn * n[k] - scale_t * vt[k] for k in range(3)]
 
@@ -411,7 +438,10 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         ms = drv.get("mass_scale")
         ss = drv.get("stiffness_scale")
         ds = drv.get("damping_scale")
-        fr = drv["friction_scale"][0] if "friction_scale" in drv else None
+        fr = drv.get("friction_scale")       # per-body (nb,)
+        gs_ = drv.get("geom_scale")          # per-body (nb,)
+        ll_ = drv.get("limit_lower_delta")
+        lu_ = drv.get("limit_upper_delta")
         gd = drv.get("gravity_delta")
         gzv = [gz[k] + gd[k] for k in range(3)] if gd is not None else gz
 
@@ -427,30 +457,36 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         for k in range(ncp):
             b = int(cp_body[k])
             lp_ = [float(x) for x in cp_pos[k]]
+            rad_k = float(cp_rad[k])
+            if gs_ is not None:
+                lp_ = [x * gs_[b] for x in lp_]
+                rad_k = rad_k * gs_[b]
             pt = _vadd(pw[b], _m3x(Rw[b], lp_))
             rel = _vsub(pt, pw[b])
             vpt = _vadd(lv[b], _cross(wv[b], rel))
             mu_k = mu0 * float(cp_mu[k])
             if fr is not None:
-                mu_k = mu_k * fr
+                mu_k = mu_k * fr[b]
+            kn_k, kt_k, fnm_k = point_gains(k)
             if has_height:
                 c0, gx, gy = ins[hp0 + 3 * k], ins[hp0 + 3 * k + 1], ins[hp0 + 3 * k + 2]
                 h_at = c0 + gx * pt[0] + gy * pt[1]
-                pen = float(cp_rad[k]) - (pt[2] - h_at)
+                pen = rad_k - (pt[2] - h_at)
                 Linv = 1.0 / jnp.sqrt(1.0 + gx * gx + gy * gy)
                 n_ = [-gx * Linv, -gy * Linv, Linv]
-                f = _contact_force_scalar(pen, n_, vpt, mu_k)
+                f = _contact_force_scalar(pen, n_, vpt, mu_k, kn_k, kt_k,
+                                          fnm_k)
             else:
-                pen = float(cp_rad[k]) - pt[2]
+                pen = rad_k - pt[2]
                 vn = vpt[2]
                 fn = jnp.minimum(
-                    kn * jnp.maximum(pen, 0.0)
+                    kn_k * jnp.maximum(pen, 0.0)
                     * jnp.clip(1.0 - kdn * vn, 0.0, 5.0),
-                    fn_max,
+                    fnm_k,
                 )
                 vt0, vt1 = vpt[0], vpt[1]
                 vt_norm = jnp.sqrt(vt0 * vt0 + vt1 * vt1 + 1e-12)
-                ft_mag = jnp.minimum(mu_k * fn, kt * vt_norm)
+                ft_mag = jnp.minimum(mu_k * fn, kt_k * vt_norm)
                 scale_t = ft_mag / (vt_norm + 1e-6)
                 f = [-scale_t * vt0, -scale_t * vt1, fn]
             n = _cross(rel, f)
@@ -468,19 +504,27 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             prm = [float(x) for x in surf_params[si]]
             pb = int(cp_body[pi])
             lp_ = [float(x) for x in cp_pos[pi]]
+            rad_p = float(cp_rad[pi])
+            if gs_ is not None:
+                lp_ = [x * gs_[pb] for x in lp_]
+                rad_p = rad_p * gs_[pb]
+                sgs = gs_[sb]
+            else:
+                sgs = 1.0
             pt_w = _vadd(pw[pb], _m3x(Rw[pb], lp_))
             v_pt = _vadd(lv[pb], _cross(wv[pb], _vsub(pt_w, pw[pb])))
 
             if stype == SurfaceType.SPHERE:
-                c_w = _vadd(pw[sb], _m3x(Rw[sb], prm[0:3]))
+                c_loc = [x * sgs for x in prm[0:3]]
+                c_w = _vadd(pw[sb], _m3x(Rw[sb], c_loc))
                 d = _vsub(pt_w, c_w)
                 dist = jnp.sqrt(_dot(d, d) + 1e-18)
                 n_ = [d[k] / (dist + 1e-9) for k in range(3)]
-                pen = prm[3] + float(cp_rad[pi]) - dist
+                pen = prm[3] * sgs + rad_p - dist
                 v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(pt_w, pw[sb])))
             elif stype == SurfaceType.CAPSULE:
-                p0 = _vadd(pw[sb], _m3x(Rw[sb], prm[0:3]))
-                p1 = _vadd(pw[sb], _m3x(Rw[sb], prm[3:6]))
+                p0 = _vadd(pw[sb], _m3x(Rw[sb], [x * sgs for x in prm[0:3]]))
+                p1 = _vadd(pw[sb], _m3x(Rw[sb], [x * sgs for x in prm[3:6]]))
                 seg = _vsub(p1, p0)
                 t_ = jnp.clip(
                     _dot(_vsub(pt_w, p0), seg) / (_dot(seg, seg) + 1e-9),
@@ -490,10 +534,12 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                 d = _vsub(pt_w, c_w)
                 dist = jnp.sqrt(_dot(d, d) + 1e-18)
                 n_ = [d[k] / (dist + 1e-9) for k in range(3)]
-                pen = prm[6] + float(cp_rad[pi]) - dist
+                pen = prm[6] * sgs + rad_p - dist
                 v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(c_w, pw[sb])))
             else:  # BOX
-                center, half, bq = prm[0:3], prm[3:6], prm[6:10]
+                center = [x * sgs for x in prm[0:3]]
+                half = [x * sgs for x in prm[3:6]]
+                bq = prm[6:10]
                 Rq = _quat_mat(bq[0], bq[1], bq[2], bq[3])  # floats
                 R_box = _m3m(Rw[sb], Rq)                    # box -> world
                 c_w = _vadd(pw[sb], _m3x(Rw[sb], center))
@@ -524,9 +570,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                     jnp.where(outside, n_out[k], n_in_l[k]) for k in range(3)
                 ]
                 pen = jnp.where(
-                    outside,
-                    float(cp_rad[pi]) - dist_out,
-                    float(cp_rad[pi]) - pen_in,
+                    outside, rad_p - dist_out, rad_p - pen_in
                 )
                 n_ = _m3x(R_box, n_l)
                 v_sf = _vadd(lv[sb], _cross(wv[sb], _vsub(pt_w, pw[sb])))
@@ -534,8 +578,9 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             vrel = _vsub(v_pt, v_sf)
             mu_pk = mu0 * float(cp_mu[pi])
             if fr is not None:
-                mu_pk = mu_pk * fr
-            f = _contact_force_scalar(pen, n_, vrel, mu_pk)
+                mu_pk = mu_pk * fr[pb]
+            f = _contact_force_scalar(pen, n_, vrel, mu_pk,
+                                      *pair_gains(pi, si))
             fx[pb] = _vadd(fx[pb], f)
             tx[pb] = _vadd(tx[pb], _cross(_vsub(pt_w, pw[pb]), f))
             fx[sb] = _vsub(fx[sb], f)
@@ -754,9 +799,11 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             qi = int(jq_np[jd])
             qjd_ = jnp.clip(qd_new[vi], -float(max_vel[jd]), float(max_vel[jd]))
             qj_ = q[qi] + h * qjd_
-            hit_lb = qj_ < float(lim_lo[jd])
-            hit_ub = qj_ > float(lim_hi[jd])
-            qj_ = jnp.clip(qj_, float(lim_lo[jd]), float(lim_hi[jd]))
+            lo_j = float(lim_lo[jd]) if ll_ is None else float(lim_lo[jd]) + ll_[jd]
+            hi_j = float(lim_hi[jd]) if lu_ is None else float(lim_hi[jd]) + lu_[jd]
+            hit_lb = qj_ < lo_j
+            hit_ub = qj_ > hi_j
+            qj_ = jnp.clip(qj_, lo_j, hi_j)
             qjd_ = jnp.where(hit_ub, jnp.minimum(qjd_, 0.0), qjd_)
             qjd_ = jnp.where(hit_lb, jnp.maximum(qjd_, 0.0), qjd_)
             q_new[qi] = qj_

@@ -42,6 +42,17 @@ class ContactParams:
     # max_depenetration_velocity (reference cfg/task/Ant.yaml physx block):
     # caps the velocity a contact can impart per substep.
     fn_max: float = 1.0e9
+    # --- per-mass mode (auto_contact_params): gains scale with the
+    # effective contact mass so every contact runs at ITS stability limit
+    # instead of the global lightest body's. Ground point: m = mass of the
+    # point's body; pair: m = min(point body, surface body). This is what
+    # gives a 70 g cube on a 200 g palm a ~0.5 mm (not 7 mm) penetration and
+    # a near-stiction tangential response while staying explicit-stable for
+    # 7 g fingertips.
+    per_mass: bool = False
+    kn_pm: float = 0.0    # normal stiffness per kg [1/s^2]
+    kt_pm: float = 0.0    # tangential (stiction) gain per kg [1/s]
+    fnm_pm: float = 0.0   # force cap per kg [m/s^2 -> N/kg]
 
 
 def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
@@ -51,25 +62,86 @@ def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
 
     Semi-implicit Euler is stable for the contact spring up to
     omega*dt = 2; omega_dt=0.5 leaves headroom for several simultaneous
-    contact points on one body (box corners). Stiffness comes from the
-    lightest body that carries contact points:
-      kn = (omega_dt / dt)^2 * m_min.
-    Damping is Hunt-Crossley (penetration-scaled, chi [s/m]) so there is no
-    force spike at first touch and no explicit-damper instability; the
-    tangential gain kt satisfies kt*dt/m = omega_dt^2 < 1. This replaces
-    the reference's PhysX implicit TGS solver semantics with an
+    contact points on one body (box corners). Gains are PER EFFECTIVE MASS
+    (ContactParams.per_mass): each ground point uses its own body's mass,
+    each cross-tree pair the lighter of its two bodies, so every contact
+    sits at its stability margin instead of the globally lightest body's:
+      kn = (omega_dt / dt)^2 * m_eff.
+    Normal damping is Hunt-Crossley (penetration-scaled, chi [s/m]) so
+    there is no force spike at first touch and no explicit-damper
+    instability. The tangential gain is the IMPULSE-CAPPED stiction limit
+      kt = m_eff / dt
+    (the force that stops the slip velocity within one substep, capped by
+    mu*fn) — the practical explicit analog of static friction; anything
+    smaller turns Coulomb stick into fast viscous creep (a 70 g cube crept
+    off the ShadowHand palm at ~8 cm/s before this). Replaces the
+    reference's PhysX implicit TGS solver semantics with an
     explicit-stable equivalent.
     """
     import numpy as np
 
     if model.cp_body.shape[0] == 0:
         return ContactParams(mu=mu)
-    masses = np.asarray(model.body_mass)[np.asarray(model.cp_body)]
-    m_min = float(masses.min())
-    kn = (omega_dt / dt_sub) ** 2 * m_min
-    kt = kn * dt_sub
-    fn_max = m_min * max_depenetration_velocity / dt_sub
-    return ContactParams(kn=kn, kd=chi, kt=kt, mu=mu, fn_max=fn_max)
+    m_min = float(point_effective_masses(model).min())
+    kn_pm = (omega_dt / dt_sub) ** 2
+    # 0.7x the exact one-substep stopping impulse: per-point effective
+    # masses already discount rotational coupling, so several simultaneous
+    # points on one body still sum below the translational stability bound
+    # (humanoid foot box, 8 corners: 8 * 0.7 * (m_eff/m) ~ 1.1 < 2;
+    # 65 mm cube, 4 corners: ~0.5) while halving the residual slip creep
+    kt_pm = 0.7 / dt_sub
+    fnm_pm = max_depenetration_velocity / dt_sub
+    return ContactParams(
+        kn=kn_pm * m_min, kd=chi, kt=kt_pm * m_min, mu=mu,
+        fn_max=fnm_pm * m_min,
+        per_mass=True, kn_pm=kn_pm, kt_pm=kt_pm, fnm_pm=fnm_pm,
+    )
+
+
+def _eff_mass(m, I_min, r2):
+    """Effective mass seen by a contact force applied at lever^2 = r2 from
+    the CoM of a body with mass m and min principal inertia I_min:
+    1/m_eff = 1/m + r^2/I — the rotational coupling that makes a box corner
+    ~5x 'lighter' than the box. Contact gains must use THIS mass or corner
+    impacts run past the explicit stability limit and pump energy."""
+    return 1.0 / (
+        1.0 / np.maximum(m, 1e-9) + r2 / np.maximum(I_min, 1e-12)
+    )
+
+
+def point_effective_masses(model: Model) -> np.ndarray:
+    """(ncp,) effective mass per ground contact point (numpy, build-time)."""
+    cb = np.asarray(model.cp_body)
+    if cb.shape[0] == 0:
+        return np.zeros(0)
+    m = np.asarray(model.body_mass)[cb]
+    com = np.asarray(model.body_com)[cb]
+    I = np.asarray(model.body_inertia)[cb]
+    I_min = np.min(np.stack([I[:, 0, 0], I[:, 1, 1], I[:, 2, 2]], 1), axis=1)
+    r2 = np.sum((np.asarray(model.cp_pos) - com) ** 2, axis=1)
+    return _eff_mass(m, I_min, r2)
+
+
+def surface_effective_mass(model: Model, si: int) -> float:
+    """Conservative effective mass of a receiver surface's body: lever =
+    the surface's farthest point from the CoM."""
+    sb = model.surf_body[si]
+    stype = SurfaceType(model.surf_type[si])
+    prm = np.asarray(model.surf_params[si])
+    com = np.asarray(model.body_com)[sb]
+    if stype == SurfaceType.SPHERE:
+        r_max = np.linalg.norm(prm[0:3] - com) + prm[3]
+    elif stype == SurfaceType.CAPSULE:
+        r_max = max(
+            np.linalg.norm(prm[0:3] - com), np.linalg.norm(prm[3:6] - com)
+        ) + prm[6]
+    else:  # BOX
+        r_max = np.linalg.norm(prm[0:3] - com) + np.linalg.norm(prm[3:6])
+    m = float(np.asarray(model.body_mass)[sb])
+    I = np.asarray(model.body_inertia)[sb]
+    I_min = float(min(I[0, 0], I[1, 1], I[2, 2]))
+    return float(_eff_mass(np.asarray(m), np.asarray(I_min),
+                           np.asarray(r_max ** 2)))
 
 
 class ContactResult(NamedTuple):
@@ -86,23 +158,34 @@ def plane_contacts(
     body_lvel: jax.Array,    # (nb, 3) world linear velocity of body origin
     params: ContactParams,
     height_fn: Optional[Callable] = None,
+    mu_scale: Optional[jax.Array] = None,
+    geom_scale: Optional[jax.Array] = None,
 ) -> ContactResult:
     """Contact forces against the ground plane z=0 (or a heightfield given by
-    height_fn(x, y) -> (h, normal))."""
+    height_fn(x, y) -> (h, normal)).
+
+    mu_scale: optional (nb,) per-body friction multiplier (DR
+    material_properties overlay); geom_scale: optional (nb,) per-body
+    collision geometry scale (DR on_startup `scale` overlay)."""
     nb = model.nb
     if model.cp_body.shape[0] == 0:
         zeros = jnp.zeros((nb, 3))
         return ContactResult(jnp.zeros((nb, 6)), zeros, zeros)
 
     cb = model.cp_body  # (ncp,)
+    cp_pos, cp_radius = model.cp_pos, model.cp_radius
+    if geom_scale is not None:
+        gs = geom_scale[cb]
+        cp_pos = cp_pos * gs[:, None]
+        cp_radius = cp_radius * gs
     # world contact point positions
-    pt = body_pos[cb] + jnp.einsum("cij,cj->ci", body_rot[cb], model.cp_pos)
+    pt = body_pos[cb] + jnp.einsum("cij,cj->ci", body_rot[cb], cp_pos)
     if height_fn is None:
         h = jnp.zeros(pt.shape[0])
         n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), pt.shape)
     else:
         h, n = height_fn(pt[..., 0], pt[..., 1])
-    pen = model.cp_radius - (pt[..., 2] - h)
+    pen = cp_radius - (pt[..., 2] - h)
     active = pen > 0.0
 
     # contact point velocity
@@ -110,17 +193,26 @@ def plane_contacts(
     vn = jnp.sum(v_pt * n, axis=-1)
     vt = v_pt - vn[..., None] * n
 
+    if params.per_mass:
+        m_pt = jnp.asarray(point_effective_masses(model), jnp.float32)
+        kn, kt, fnm = (
+            params.kn_pm * m_pt, params.kt_pm * m_pt, params.fnm_pm * m_pt
+        )
+    else:
+        kn, kt, fnm = params.kn, params.kt, params.fn_max
     # Hunt-Crossley: damping scaled by penetration (no touch spike)
     fn = jnp.where(
         active,
-        params.kn * jnp.maximum(pen, 0.0)
+        kn * jnp.maximum(pen, 0.0)
         * jnp.clip(1.0 - params.kd * vn, 0.0, 5.0),
         0.0,
     )
-    fn = jnp.minimum(fn, params.fn_max)
+    fn = jnp.minimum(fn, fnm)
     vt_norm = jnp.linalg.norm(vt, axis=-1)
     mu = params.mu * model.cp_friction
-    ft_mag = jnp.minimum(mu * fn, params.kt * vt_norm)
+    if mu_scale is not None:
+        mu = mu * mu_scale[cb]
+    ft_mag = jnp.minimum(mu * fn, kt * vt_norm)
     ft = -ft_mag[..., None] * vt / (vt_norm[..., None] + 1e-6)
 
     f_w = fn[..., None] * n + ft                       # (ncp, 3)
@@ -154,16 +246,24 @@ def build_pair_groups(model: Model) -> PairGroups:
         si = model.pair_surf[k]
         groups[SurfaceType(model.surf_type[si])].append((int(pts[k]), si))
 
+    meff_pt = point_effective_masses(model)
+
     def pack(pairs, nparams):
         if not pairs:
             return dict(
                 pt=np.zeros(0, np.int32), sbody=np.zeros(0, np.int32),
-                params=np.zeros((0, nparams)),
+                params=np.zeros((0, nparams)), mmin=np.zeros(0),
             )
         pt = np.array([p for p, _ in pairs], np.int32)
         sbody = np.array([model.surf_body[s] for _, s in pairs], np.int32)
         params = np.array([model.surf_params[s] for _, s in pairs])
-        return dict(pt=pt, sbody=sbody, params=params)
+        # effective contact mass per pair: the lighter effective mass of
+        # the point and the surface body (per-mass gains)
+        mmin = np.minimum(
+            meff_pt[pt],
+            np.array([surface_effective_mass(model, s) for _, s in pairs]),
+        )
+        return dict(pt=pt, sbody=sbody, params=params, mmin=mmin)
 
     return PairGroups(
         sphere=pack(groups[SurfaceType.SPHERE], 4),
@@ -172,21 +272,28 @@ def build_pair_groups(model: Model) -> PairGroups:
     )
 
 
-def _contact_force(pen, n, vrel, mu, params: ContactParams):
-    """Compliant normal (Hunt-Crossley damped) + capped viscous friction.
-    Returns world-frame force on the POINT body."""
+def _contact_force(pen, n, vrel, mu, params: ContactParams, mmin=None):
+    """Compliant normal (Hunt-Crossley damped) + stiction-capped friction.
+    Returns world-frame force on the POINT body. mmin: per-row effective
+    contact mass for per-mass gains (auto_contact_params)."""
+    if params.per_mass and mmin is not None:
+        kn, kt, fnm = (
+            params.kn_pm * mmin, params.kt_pm * mmin, params.fnm_pm * mmin
+        )
+    else:
+        kn, kt, fnm = params.kn, params.kt, params.fn_max
     active = pen > 0.0
     vn = jnp.sum(vrel * n, axis=-1)
     vt = vrel - vn[..., None] * n
     fn = jnp.where(
         active,
-        params.kn * jnp.maximum(pen, 0.0)
+        kn * jnp.maximum(pen, 0.0)
         * jnp.clip(1.0 - params.kd * vn, 0.0, 5.0),
         0.0,
     )
-    fn = jnp.minimum(fn, params.fn_max)
+    fn = jnp.minimum(fn, fnm)
     vt_norm = jnp.linalg.norm(vt, axis=-1)
-    ft_mag = jnp.minimum(mu * fn, params.kt * vt_norm)
+    ft_mag = jnp.minimum(mu * fn, kt * vt_norm)
     ft = -ft_mag[..., None] * vt / (vt_norm[..., None] + 1e-6)
     return fn[..., None] * n + ft
 
@@ -199,10 +306,13 @@ def pair_contacts(
     body_avel: jax.Array,
     body_lvel: jax.Array,
     params: ContactParams,
+    mu_scale: Optional[jax.Array] = None,
+    geom_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Cross-tree point-vs-surface contact wrenches -> (nb, 6) [torque;
     force] per body in world coordinates. Static shapes: the candidate pair
-    list is compiled into the model."""
+    list is compiled into the model. mu_scale/geom_scale: optional (nb,)
+    per-body DR multipliers (see plane_contacts)."""
     nb = model.nb
     f_ext = jnp.zeros((nb, 6))
     total = (
@@ -215,9 +325,23 @@ def pair_contacts(
 
     def point_world(pi):
         cb = model.cp_body[pi]
+        lp = model.cp_pos[pi]
+        if geom_scale is not None:
+            lp = lp * geom_scale[cb][:, None]
         return cb, body_pos[cb] + jnp.einsum(
-            "cij,cj->ci", body_rot[cb], model.cp_pos[pi]
+            "cij,cj->ci", body_rot[cb], lp
         )
+
+    def point_radius(pi, pb):
+        r = model.cp_radius[pi]
+        return r if geom_scale is None else r * geom_scale[pb]
+
+    def surf_scale(sb):
+        return 1.0 if geom_scale is None else geom_scale[sb]
+
+    def pair_mu(pi, pb):
+        mu = params.mu * model.cp_friction[pi]
+        return mu if mu_scale is None else mu * mu_scale[pb]
 
     def vel_at(b, x):
         return body_lvel[b] + jnp.cross(body_avel[b], x - body_pos[b])
@@ -236,14 +360,18 @@ def pair_contacts(
         sb = jnp.asarray(g["sbody"])
         prm = jnp.asarray(g["params"], jnp.float32)
         pb, pt_w = point_world(pi)
-        c_w = body_pos[sb] + jnp.einsum("cij,cj->ci", body_rot[sb], prm[:, 0:3])
+        ss = surf_scale(sb)
+        c_w = body_pos[sb] + jnp.einsum(
+            "cij,cj->ci", body_rot[sb],
+            prm[:, 0:3] if geom_scale is None else prm[:, 0:3] * ss[:, None],
+        )
         d = pt_w - c_w
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / (dist[..., None] + 1e-9)
-        pen = prm[:, 3] + model.cp_radius[pi] - dist
+        pen = prm[:, 3] * ss + point_radius(pi, pb) - dist
         vrel = vel_at(pb, pt_w) - vel_at(sb, pt_w)
-        mu = params.mu * model.cp_friction[pi]
-        f = _contact_force(pen, n, vrel, mu, params)
+        f = _contact_force(pen, n, vrel, pair_mu(pi, pb), params,
+                           jnp.asarray(g["mmin"], jnp.float32))
         f_ext = accumulate(f_ext, pb, sb, pt_w, f)
 
     # ---- capsule surfaces ----
@@ -253,8 +381,12 @@ def pair_contacts(
         sb = jnp.asarray(g["sbody"])
         prm = jnp.asarray(g["params"], jnp.float32)
         pb, pt_w = point_world(pi)
-        p0 = body_pos[sb] + jnp.einsum("cij,cj->ci", body_rot[sb], prm[:, 0:3])
-        p1 = body_pos[sb] + jnp.einsum("cij,cj->ci", body_rot[sb], prm[:, 3:6])
+        ss = surf_scale(sb)
+        e0, e1 = prm[:, 0:3], prm[:, 3:6]
+        if geom_scale is not None:
+            e0, e1 = e0 * ss[:, None], e1 * ss[:, None]
+        p0 = body_pos[sb] + jnp.einsum("cij,cj->ci", body_rot[sb], e0)
+        p1 = body_pos[sb] + jnp.einsum("cij,cj->ci", body_rot[sb], e1)
         seg = p1 - p0
         t = jnp.clip(
             jnp.sum((pt_w - p0) * seg, axis=-1)
@@ -265,10 +397,10 @@ def pair_contacts(
         d = pt_w - c_w
         dist = jnp.linalg.norm(d, axis=-1)
         n = d / (dist[..., None] + 1e-9)
-        pen = prm[:, 6] + model.cp_radius[pi] - dist
+        pen = prm[:, 6] * ss + point_radius(pi, pb) - dist
         vrel = vel_at(pb, pt_w) - vel_at(sb, c_w)
-        mu = params.mu * model.cp_friction[pi]
-        f = _contact_force(pen, n, vrel, mu, params)
+        f = _contact_force(pen, n, vrel, pair_mu(pi, pb), params,
+                           jnp.asarray(g["mmin"], jnp.float32))
         f_ext = accumulate(f_ext, pb, sb, pt_w, f)
 
     # ---- box surfaces ----
@@ -278,7 +410,10 @@ def pair_contacts(
         sb = jnp.asarray(g["sbody"])
         prm = jnp.asarray(g["params"], jnp.float32)
         pb, pt_w = point_world(pi)
+        ss = surf_scale(sb)
         center, half, bq = prm[:, 0:3], prm[:, 3:6], prm[:, 6:10]
+        if geom_scale is not None:
+            center, half = center * ss[:, None], half * ss[:, None]
         from omniisaacgymenvs_tpu.physics import rotations as _rot
 
         R_box = body_rot[sb] @ _rot.quat_to_rotmat(bq)  # box frame -> world
@@ -299,15 +434,12 @@ def pair_contacts(
         )
         pen_in = -jnp.min(face_d, axis=-1)    # negative depth inside
         n_l = jnp.where(outside[..., None], n_out, n_in)
-        pen = jnp.where(
-            outside,
-            model.cp_radius[pi] - dist_out,
-            model.cp_radius[pi] - pen_in,
-        )
+        r_pt = point_radius(pi, pb)
+        pen = jnp.where(outside, r_pt - dist_out, r_pt - pen_in)
         n = jnp.einsum("cij,cj->ci", R_box, n_l)
         vrel = vel_at(pb, pt_w) - vel_at(sb, pt_w)
-        mu = params.mu * model.cp_friction[pi]
-        f = _contact_force(pen, n, vrel, mu, params)
+        f = _contact_force(pen, n, vrel, pair_mu(pi, pb), params,
+                           jnp.asarray(g["mmin"], jnp.float32))
         f_ext = accumulate(f_ext, pb, sb, pt_w, f)
 
     return f_ext

@@ -295,10 +295,14 @@ def aba(
     return qdd
 
 
-def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
+def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt,
+              limit_lower=None, limit_upper=None):
     """Semi-implicit Euler with joint velocity clamp and hard limit
     projection (PhysX-style maxJointVelocity + limit constraints,
-    reference robots/articulations/franka.py:86)."""
+    reference robots/articulations/franka.py:86). limit_lower/upper
+    override the model's dof limits (DR lower/upper_dof_limits overlays)."""
+    lim_lo = model.dof_limit_lower if limit_lower is None else limit_lower
+    lim_hi = model.dof_limit_upper if limit_upper is None else limit_upper
     qd_new = qd + dt * qdd
     qj_d = jnp.clip(
         qd_new[model.jv_idx], -model.dof_max_velocity, model.dof_max_velocity
@@ -306,9 +310,9 @@ def integrate(model: Model, q: jax.Array, qd: jax.Array, qdd: jax.Array, dt):
     qj = q[model.jq_idx] + dt * qj_d
 
     # hard limit projection: clamp q, zero outward velocity
-    hit_lb = qj < model.dof_limit_lower
-    hit_ub = qj > model.dof_limit_upper
-    qj = jnp.clip(qj, model.dof_limit_lower, model.dof_limit_upper)
+    hit_lb = qj < lim_lo
+    hit_ub = qj > lim_hi
+    qj = jnp.clip(qj, lim_lo, lim_hi)
     qj_d = jnp.where(hit_ub, jnp.minimum(qj_d, 0.0), qj_d)
     qj_d = jnp.where(hit_lb, jnp.maximum(qj_d, 0.0), qj_d)
 

@@ -37,6 +37,24 @@ class SimParams:
     # None -> stable gains derived from the model (auto_contact_params)
     contact: Optional[ContactParams] = None
     friction: float = 1.0  # default physics material friction coefficient
+    # contact force cap as an escape velocity (PhysX
+    # max_depenetration_velocity, reference default_scene_params.py)
+    max_depenetration_velocity: float = 10.0
+
+
+def sim_params_from_cfg(sim_cfg, dt: float = 1.0 / 60.0, substeps: int = 1,
+                        gravity=(0.0, 0.0, -9.81),
+                        friction: float = 1.0) -> SimParams:
+    """Build SimParams from a reference-shaped task yaml `sim` block
+    (utils/sim_config.parse_sim_cfg: consumes dt/substeps/gravity/material/
+    physx keys, maps solver position iterations to substeps, warns on
+    unknown keys)."""
+    from omniisaacgymenvs_tpu.utils.sim_config import parse_sim_cfg
+
+    return SimParams(**parse_sim_cfg(
+        sim_cfg, dt=dt, substeps=substeps, gravity=gravity,
+        friction=friction,
+    ))
 
 
 class PhysicsEngine:
@@ -60,7 +78,8 @@ class PhysicsEngine:
             params.contact
             if params.contact is not None
             else auto_contact_params(
-                model, params.dt / params.substeps, mu=params.friction
+                model, params.dt / params.substeps, mu=params.friction,
+                max_depenetration_velocity=params.max_depenetration_velocity,
             )
         )
         self.pair_groups = build_pair_groups(model)
@@ -153,9 +172,10 @@ class PhysicsEngine:
         self._fused_step_cvs = {}
 
     _DR_SHAPES = {
-        "damping_scale": ("njd",), "friction_scale": (),
-        "gravity_delta": (3,), "mass_scale": ("nb",),
-        "stiffness_scale": ("njd",),
+        "damping_scale": ("njd",), "friction_scale": ("nb",),
+        "geom_scale": ("nb",), "gravity_delta": (3,),
+        "limit_lower_delta": ("njd",), "limit_upper_delta": ("njd",),
+        "mass_scale": ("nb",), "stiffness_scale": ("njd",),
         "tendon_stiffness_scale": ("nt",), "tendon_damping_scale": ("nt",),
     }
 
@@ -319,8 +339,8 @@ class PhysicsEngine:
         m = self.model
         ov = overlay or {}
         cparams = self.contact_params
-        if "friction_scale" in ov:
-            cparams = cparams.replace(mu=cparams.mu * ov["friction_scale"])
+        mu_scale = ov.get("friction_scale")   # (nb,) per-body
+        geom_scale = ov.get("geom_scale")     # (nb,) per-body
         gravity = self._gravity
         if "gravity_delta" in ov:
             gravity = gravity + ov["gravity_delta"]
@@ -329,12 +349,14 @@ class PhysicsEngine:
         Rw = kin.Rw
         pw = kin.pw
         cres = plane_contacts(
-            m, pw, Rw, avel, lvel, cparams, self.height_fn
+            m, pw, Rw, avel, lvel, cparams, self.height_fn,
+            mu_scale=mu_scale, geom_scale=geom_scale,
         )
         f_contact = cres.f_ext
         if self._has_pairs:
             f_contact = f_contact + pair_contacts(
-                m, self.pair_groups, pw, Rw, avel, lvel, cparams
+                m, self.pair_groups, pw, Rw, avel, lvel, cparams,
+                mu_scale=mu_scale, geom_scale=geom_scale,
             )
         f_ext = f_contact + f_applied
         if self._has_gravity_comp:
@@ -358,7 +380,14 @@ class PhysicsEngine:
             tendon_stiffness_scale=ov.get("tendon_stiffness_scale"),
             tendon_damping_scale=ov.get("tendon_damping_scale"),
         )
-        q, qd = dynamics.integrate(m, q, qd, qdd, h)
+        lim_lo = lim_hi = None
+        if "limit_lower_delta" in ov:
+            lim_lo = m.dof_limit_lower + ov["limit_lower_delta"]
+        if "limit_upper_delta" in ov:
+            lim_hi = m.dof_limit_upper + ov["limit_upper_delta"]
+        q, qd = dynamics.integrate(
+            m, q, qd, qdd, h, limit_lower=lim_lo, limit_upper=lim_hi
+        )
         if m.num_sensors:
             sb = jnp.asarray(m.sensor_body)
             # wrench = all contact forces (ground + pairwise) on the body,

@@ -203,8 +203,14 @@ class ModelBuilder:
         self.name = name
         self._bodies: List[_BodySpec] = []
         self._cp: List[Tuple[int, np.ndarray, float, float]] = []
-        self._surfaces: List[Tuple[int, int, tuple]] = []  # (type, body, params)
+        # (type, body, params, self_only): self_only surfaces pair ONLY with
+        # same-tree points (self-collision), not with other trees
+        self._surfaces: List[Tuple[int, int, tuple, bool]] = []
         self._sensors: List[int] = []
+        # trees (by root body index) with intra-articulation collision
+        # enabled (reference per-actor enable_self_collisions,
+        # sim_config.py:389-392)
+        self._self_collide_roots: set = set()
         # (dof_name_a, dof_name_b, coef_a, coef_b, rest, k, c, lo, hi, k_lim)
         self._tendons: List[tuple] = []
 
@@ -272,49 +278,63 @@ class ModelBuilder:
 
     # ------------------------------------------------------------------
     def add_sphere_collider(self, body: int, pos, radius: float,
-                            friction: float = 1.0, receive: bool = False):
+                            friction: float = 1.0, receive: bool = False,
+                            receive_self: bool = False):
         self._cp.append((body, np.asarray(pos, dtype=np.float64), radius, friction))
-        if receive:
+        if receive or receive_self:
             self._surfaces.append(
                 (int(SurfaceType.SPHERE), body,
-                 tuple(np.asarray(pos, float)) + (float(radius),))
+                 tuple(np.asarray(pos, float)) + (float(radius),),
+                 not receive)
             )
 
     def add_capsule_collider(
         self, body: int, p0, p1, radius: float, friction: float = 1.0,
         n_extra: int = 0, receive: bool = False,
+        receive_self: bool = False,
     ):
         """Capsule by endcap centers; contact points at the endcap spheres
         (plus optional intermediate points); optionally also a receiver
-        surface for other trees' points."""
+        surface for other trees' points (receive=True) or for same-tree
+        self-collision only (receive_self=True)."""
         p0 = np.asarray(p0, dtype=np.float64)
         p1 = np.asarray(p1, dtype=np.float64)
         for t in np.linspace(0.0, 1.0, 2 + n_extra):
             self._cp.append((body, p0 + t * (p1 - p0), radius, friction))
-        if receive:
+        if receive or receive_self:
             self._surfaces.append(
                 (int(SurfaceType.CAPSULE), body,
-                 tuple(p0) + tuple(p1) + (float(radius),))
+                 tuple(p0) + tuple(p1) + (float(radius),),
+                 not receive)
             )
 
     def add_box_collider(self, body: int, pos, half_extents,
                          friction: float = 1.0, quat=(1.0, 0.0, 0.0, 0.0),
-                         receive: bool = False):
-        """Box by center + half extents; contact points at the 8 corners;
-        optionally a receiver surface (axis-aligned in body frame after
-        quat)."""
+                         receive: bool = False, dense: bool = False,
+                         receive_self: bool = False):
+        """Box by center + half extents; contact points at the 8 corners
+        (dense=True adds the 12 edge midpoints and 6 face centers — needed
+        when the box must rest stably on SMALL surfaces it can straddle,
+        e.g. the in-hand cube on the ShadowHand palm: with corners only, a
+        straddling pose has no point over the support and the nearest-face
+        push-out walks the box through the palm's side faces); optionally a
+        receiver surface (axis-aligned in body frame after quat)."""
         pos = np.asarray(pos, dtype=np.float64)
         h = np.asarray(half_extents, dtype=np.float64)
         R = _quat_to_mat_np(np.asarray(quat, dtype=np.float64))
-        for sx in (-1, 1):
-            for sy in (-1, 1):
-                for sz in (-1, 1):
+        signs = [-1, 0, 1] if dense else [-1, 1]
+        for sx in signs:
+            for sy in signs:
+                for sz in signs:
+                    if sx == sy == sz == 0:
+                        continue
                     corner = pos + R @ (h * np.array([sx, sy, sz]))
                     self._cp.append((body, corner, 0.0, friction))
-        if receive:
+        if receive or receive_self:
             self._surfaces.append(
                 (int(SurfaceType.BOX), body,
-                 tuple(pos) + tuple(h) + tuple(np.asarray(quat, float)))
+                 tuple(pos) + tuple(h) + tuple(np.asarray(quat, float)),
+                 not receive)
             )
 
     def add_contact_point(self, body: int, pos, radius: float = 0.0,
@@ -385,6 +405,15 @@ class ModelBuilder:
              float(stiffness), float(damping), float(limit[0]),
              float(limit[1]), float(limit_stiffness))
         )
+
+    def enable_self_collisions(self, root_body: int = 0):
+        """Enable intra-articulation collision for the tree rooted at
+        `root_body` (reference per-actor enable_self_collisions,
+        sim_config.py:389-392; the hands enable it). Same-tree (point,
+        surface) candidate pairs are generated for surfaces marked
+        receive/receive_self, excluding same-body and directly-jointed
+        parent-child pairs (PhysX's default adjacency filter)."""
+        self._self_collide_roots.add(root_body)
 
     def set_root_default(self, pos=(0, 0, 0), quat=(1, 0, 0, 0), body: int = 0):
         self._bodies[body].default_pose = np.concatenate(
@@ -472,15 +501,32 @@ class ModelBuilder:
         cp_radius = np.array([c[2] for c in self._cp])
         cp_friction = np.array([c[3] for c in self._cp])
 
-        # cross-tree candidate pairs: every point vs every surface of a
-        # DIFFERENT tree (self-collision off, matching the reference's
-        # enable_self_collisions: False default, sim_config.py:389-392)
+        # candidate pairs: every point vs every receive surface of a
+        # DIFFERENT tree; plus, for trees with self-collision enabled
+        # (reference per-actor enable_self_collisions, sim_config
+        # .py:389-392), same-tree pairs against receive/receive_self
+        # surfaces excluding same-body and directly-jointed parent-child
+        # pairs (PhysX's adjacency filter)
+        self_trees = {
+            tree_id[r] for r in self._self_collide_roots
+        }
         pair_point: List[int] = []
         pair_surf: List[int] = []
-        for si, (stype, sbody, sparams) in enumerate(self._surfaces):
+        for si, (stype, sbody, sparams, self_only) in enumerate(
+            self._surfaces
+        ):
             for pi in range(len(self._cp)):
                 pbody = int(cp_body[pi])
                 if tree_id[pbody] != tree_id[sbody]:
+                    if not self_only:
+                        pair_point.append(pi)
+                        pair_surf.append(si)
+                elif tree_id[sbody] in self_trees:
+                    if pbody == sbody:
+                        continue
+                    if (bodies[pbody].parent == sbody
+                            or bodies[sbody].parent == pbody):
+                        continue
                     pair_point.append(pi)
                     pair_surf.append(si)
 
@@ -533,9 +579,9 @@ class ModelBuilder:
             cp_pos=jnp.asarray(cp_pos, dtype),
             cp_radius=jnp.asarray(cp_radius, dtype),
             cp_friction=jnp.asarray(cp_friction, dtype),
-            surf_type=tuple(s[0] for s in self._surfaces),
-            surf_body=tuple(s[1] for s in self._surfaces),
-            surf_params=tuple(s[2] for s in self._surfaces),
+            surf_type=tuple(sf[0] for sf in self._surfaces),
+            surf_body=tuple(sf[1] for sf in self._surfaces),
+            surf_params=tuple(sf[2] for sf in self._surfaces),
             pair_point=jnp.asarray(np.asarray(pair_point, dtype=np.int32)),
             pair_surf=tuple(pair_surf),
             nt=nt,

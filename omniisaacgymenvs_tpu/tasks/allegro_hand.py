@@ -11,7 +11,10 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models import allegro_hand as alm
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.shared.in_hand_manipulation import (
     InHandManipulationTask,
 )
@@ -24,6 +27,7 @@ class AllegroHandTask(InHandManipulationTask):
     num_actions = 16
     num_states = 0
     fingertip_bodies = alm.FINGERTIP_BODIES
+    dr_view_name = "allegro_hand_view"  # reference AllegroHandView name
 
     def __init__(self, cfg: dict | None = None):
         cfg = cfg or {}
@@ -37,10 +41,9 @@ class AllegroHandTask(InHandManipulationTask):
         self.model = alm.build_allegro_hand()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=sim_cfg.get("dt", 1.0 / 120.0),
-                substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=1.0 / 120.0, substeps=2,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self.goal_pos = jnp.asarray(alm.GOAL_POS)

@@ -12,7 +12,10 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.ant import ANT_JOINT_GEARS, build_ant
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.shared.locomotion import LocomotionTask
 
 
@@ -38,10 +41,9 @@ class AntLocomotionTask(LocomotionTask):
         self.model = build_ant()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=sim_cfg.get("dt", 1.0 / 120.0),
-                substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=1.0 / 120.0, substeps=2,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self.joint_gears = jnp.asarray(ANT_JOINT_GEARS)

@@ -19,7 +19,11 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.anymal import build_anymal
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
+from omniisaacgymenvs_tpu.envs.views import ArticulationView
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 
@@ -65,13 +69,14 @@ class AnymalTask(RLTask):
         self.model = build_anymal()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=sim_cfg.get("dt", 0.01),
-                substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=0.01, substeps=2, gravity=(0.0, 0.0, -9.81),
             ),
         )
         self.default_dof_pos = self.model.default_q[self.model.jq0:]
+        # base pose via the articulation view (reference AnymalView
+        # base_below_threshold, robots/articulations/views/anymal_view.py)
+        self._base_view = ArticulationView(self.model)
 
     # ------------------------------------------------------------------
     def initial_carry(self):
@@ -184,7 +189,8 @@ class AnymalTask(RLTask):
             + rew_action_rate + rew_cosmetic + rew_lin_vel_z,
             0.0, None,
         )
-        fallen_over = phys.q[2] < 0.51  # reference :283 base below threshold
+        base_pos, _ = self._base_view.get_world_poses(phys)
+        fallen_over = base_pos[2] < 0.51  # reference :283 base below threshold
         total_reward = jnp.where(fallen_over, -1.0, total_reward)
         done = fallen_over | (progress >= self.max_episode_length - 1)
         carry = dict(carry, last_actions=action, last_dof_vel=dof_vel)

@@ -21,7 +21,10 @@ import numpy as np
 
 from omniisaacgymenvs_tpu.models.anymal import build_anymal
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 from omniisaacgymenvs_tpu.utils.terrain import Terrain
 
@@ -147,10 +150,9 @@ class AnymalTerrainTask(RLTask):
         )
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=self.sim_dt,
-                substeps=sim_cfg.get("substeps", 1),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                dict(sim_cfg, dt=self.sim_dt), substeps=1,
+                gravity=(0.0, 0.0, -9.81),
             ),
             height_fn=self._height_fn,
         )
@@ -207,6 +209,8 @@ class AnymalTerrainTask(RLTask):
             last_actions=jnp.zeros(12),
             last_dof_vel=jnp.zeros(12),
             torques=jnp.zeros(12),
+            targets=self.default_dof_pos,
+            noise_key=jax.random.PRNGKey(0),
             level=jnp.zeros((), jnp.int32),
             ttype=jnp.zeros((), jnp.int32),
             origin=jnp.zeros(3),
@@ -231,7 +235,7 @@ class AnymalTerrainTask(RLTask):
 
     def _reset_at(self, rng, level, ttype):
         m = self.model
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         origin = self._origins[level, ttype]
         offset = jax.random.uniform(k1, (2,), minval=-0.5, maxval=0.5)
         q = m.default_q
@@ -240,16 +244,13 @@ class AnymalTerrainTask(RLTask):
         qd = jnp.zeros(m.nv)
         carry = self.initial_carry()
         carry["commands"] = self._sample_commands(k2)
+        carry["noise_key"] = k3
         carry["level"] = level
         carry["ttype"] = ttype
         carry["origin"] = origin
         return q, qd, carry
 
-    def reset(self, rng):
-        rng, k1, k2, k3 = jax.random.split(rng, 4)
-        level = jax.random.randint(k1, (), 0, self.max_init_level + 1)
-        ttype = jax.random.randint(k2, (), 0, self.terrain.env_cols)
-        q, qd, carry = self._reset_at(k3, level, ttype)
+    def _fresh_state(self, q, qd, carry, rng):
         phys = self.engine.init_state(q, qd)
         obs, states, carry = self.observe(phys, carry, jnp.zeros(12))
         return EnvState(
@@ -260,35 +261,20 @@ class AnymalTerrainTask(RLTask):
             metrics=self.initial_metrics(),
         )
 
-    # ------------------------------------------------------------------
-    def physics_steps_pd(self, phys, action, carry):
-        """decimation x [PD torque + sim step] (reference pre_physics_step
-        :309-316). The PD law lives in the model drives (see __init__), so
-        this is a plain step_n — the engine re-evaluates the drive torque at
-        every substep, and eligible scenes run the whole control step in one
-        fused kernel. The applied torque (for the torque penalty reward,
-        reference :389) is re-evaluated from the post-step state."""
-        eng = self.engine
-        m = self.model
-        h = self.sim_dt / eng.params.substeps
-        targets = self.action_scale * action + self.default_dof_pos
-        ctrl = eng.default_control().replace(pos_target=targets)
-        st = eng.step_n(phys, ctrl, self.decimation)
-        qj = st.q[m.jq_idx]
-        qjd = st.qd[m.jv_idx]
-        tau = jnp.clip(
-            self.Kp * (targets - qj - h * qjd) - self.Kd * qjd, -80.0, 80.0
-        )
-        return st, tau
+    def reset(self, rng):
+        rng, k1, k2, k3 = jax.random.split(rng, 4)
+        level = jax.random.randint(k1, (), 0, self.max_init_level + 1)
+        ttype = jax.random.randint(k2, (), 0, self.terrain.env_cols)
+        q, qd, carry = self._reset_at(k3, level, ttype)
+        return self._fresh_state(q, qd, carry, rng)
 
-    def step(self, es: EnvState, action):
-        rng, k_reset, k_push, k_noise = jax.random.split(es.rng, 4)
-        es = es.replace(rng=rng, carry=dict(es.carry))
+    # -- base-pipeline hooks (the step itself is RLTask.step) ----------
+    def resample_reset(self, key, es):
+        """Curriculum-aware respawn: walked distance vs command promotes or
+        demotes the terrain level (reference update_terrain_level
+        :203-209, 289-298); the terrain column is kept."""
         carry = es.carry
-
-        # ---- curriculum + fused reset (reference update_terrain_level) ----
-        base_xy = es.phys.q[0:2]
-        distance = jnp.linalg.norm(base_xy - carry["origin"][0:2])
+        distance = jnp.linalg.norm(es.phys.q[0:2] - carry["origin"][0:2])
         cmd_norm = jnp.linalg.norm(carry["commands"][0:2])
         level = carry["level"]
         if self.curriculum:
@@ -299,77 +285,29 @@ class AnymalTerrainTask(RLTask):
                 jnp.int32
             )
             level = jnp.clip(level, 0) % self.terrain.env_rows
-        fq, fqd, fcarry = self._reset_at(k_reset, level, carry["ttype"])
-        fphys = self.engine.init_state(fq, fqd)
-        fobs, _, fcarry = self.observe(fphys, fcarry, jnp.zeros(12))
-        fresh = EnvState(
-            phys=fphys, carry=fcarry, obs=fobs, states=jnp.zeros(0),
-            reward=jnp.zeros(()), done=jnp.zeros((), bool),
-            timeout=jnp.zeros((), bool),
-            progress=jnp.zeros((), jnp.int32),
-            rng=jax.random.fold_in(k_reset, 99),
-            metrics=self.initial_metrics(),
-        )
-        es = jax.tree.map(
-            lambda new, old: jnp.where(
-                jnp.reshape(es.done, (1,) * new.ndim), new, old
-            )
-            if new.ndim > 0
-            else jnp.where(es.done, new, old),
-            fresh,
-            es,
-        )
-        carry = es.carry
+        q, qd, carry = self._reset_at(key, level, es.carry["ttype"])
+        return self._fresh_state(q, qd, carry, jax.random.fold_in(key, 99))
 
-        # ---- random pushes every push_interval (reference :355-357) ----
+    def pre_physics(self, es, key):
+        """Random robot pushes every push_interval steps (reference
+        :327-328, :355-357) + per-step observation-noise key."""
         push = (es.progress % self.push_interval) == (self.push_interval - 1)
         quat = es.phys.q[3:7]
         v_world = rot.quat_rotate(quat, es.phys.qd[3:6])
-        push_v = jax.random.uniform(k_push, (2,), minval=-1.0, maxval=1.0)
-        v_world = v_world.at[0:2].set(
-            jnp.where(push, push_v, v_world[0:2])
-        )
+        push_v = jax.random.uniform(key, (2,), minval=-1.0, maxval=1.0)
+        v_world = v_world.at[0:2].set(jnp.where(push, push_v, v_world[0:2]))
         qd = es.phys.qd.at[3:6].set(rot.quat_rotate_inverse(quat, v_world))
-        es = es.replace(phys=es.phys.replace(qd=qd))
+        es.carry["noise_key"] = jax.random.fold_in(key, 3)
+        return es.replace(phys=es.phys.replace(qd=qd))
 
-        # ---- action + physics ----
-        action = jnp.clip(action, -self.clip_actions, self.clip_actions)
-        phys, torques = self.physics_steps_pd(es.phys, action, carry)
-        carry["torques"] = torques
-        progress = es.progress + 1
-
-        # heading-based yaw command (reference :334-336)
-        quat = phys.q[3:7]
-        forward = rot.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
-        heading = jnp.arctan2(forward[1], forward[0])
-        cmds = carry["commands"]
-        cmds = cmds.at[2].set(
-            jnp.clip(0.5 * _wrap_to_pi(cmds[3] - heading), -1.0, 1.0)
-        )
-        carry["commands"] = cmds
-
-        obs, states, carry = self.observe(phys, carry, action)
-        reward, done, carry, metrics = self.reward_done(
-            obs, action, phys, carry, progress
-        )
-        if self.add_noise:
-            noise = (
-                2.0 * jax.random.uniform(k_noise, (188,)) - 1.0
-            ) * self.noise_vec
-            obs = obs + noise
-        finite = jnp.isfinite(jnp.sum(phys.q) + jnp.sum(phys.qd) + reward)
-        done = done | ~finite
-        reward = jnp.where(finite, reward, 0.0)
-        obs = jnp.nan_to_num(
-            jnp.clip(obs, -self.clip_obs, self.clip_obs),
-            posinf=1e6, neginf=-1e6,
-        )
-        return es.replace(
-            phys=phys, carry=carry, obs=obs, states=states, reward=reward,
-            done=done,
-            timeout=jnp.asarray(progress >= self.max_episode_length - 1),
-            progress=progress, metrics=metrics,
-        )
+    def control(self, action, es):
+        """Position targets for the in-model PD drives (reference explicit
+        PD torque loop :309-316 — here the drive law lives in the model and
+        the engine re-evaluates it every substep; eligible scenes run the
+        whole control step in one fused kernel)."""
+        targets = self.action_scale * action + self.default_dof_pos
+        es.carry["targets"] = targets
+        return self.engine.default_control().replace(pos_target=targets)
 
     # ------------------------------------------------------------------
     def observe(self, phys, carry, action):
@@ -382,6 +320,23 @@ class AnymalTerrainTask(RLTask):
         )
         dof_pos = phys.q[m.jq_idx]
         dof_vel = phys.qd[m.jv_idx]
+        # heading-based yaw command from the POST-step pose (reference
+        # :334-336)
+        forward = rot.quat_rotate(quat, jnp.array([1.0, 0.0, 0.0]))
+        heading = jnp.arctan2(forward[1], forward[0])
+        cmds = carry["commands"]
+        cmds = cmds.at[2].set(
+            jnp.clip(0.5 * _wrap_to_pi(cmds[3] - heading), -1.0, 1.0)
+        )
+        carry["commands"] = cmds
+        # applied PD torque re-evaluated at the post-step state (feeds the
+        # torque penalty, reference :389)
+        h = self.sim_dt / self.engine.params.substeps
+        carry["torques"] = jnp.clip(
+            self.Kp * (carry["targets"] - dof_pos - h * dof_vel)
+            - self.Kd * dof_vel,
+            -80.0, 80.0,
+        )
         # yaw-only rotation of the scan grid (reference quat_apply_yaw)
         qy = quat * jnp.array([1.0, 0.0, 0.0, 1.0])
         qy = rot.quat_normalize(qy)
@@ -409,6 +364,13 @@ class AnymalTerrainTask(RLTask):
                 action,
             ]
         )
+        if self.add_noise:
+            # per-step uniform noise vector (reference :158-170, applied in
+            # get_observations)
+            noise = (
+                2.0 * jax.random.uniform(carry["noise_key"], (188,)) - 1.0
+            ) * self.noise_vec
+            obs = obs + noise
         return obs, jnp.zeros(0), carry
 
     def reward_done(self, obs, action, phys, carry, progress):

@@ -22,7 +22,10 @@ from omniisaacgymenvs_tpu.models.balance_bot import (
     BALL_RADIUS,
     build_balance_bot,
 )
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 
@@ -45,9 +48,9 @@ class BallBalanceTask(RLTask):
         self.model = build_balance_bot()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=self.dt, substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                dict(sim_cfg, dt=self.dt), substeps=2,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self._ball_q = self.model.root_q_adr("ball")

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine
 from omniisaacgymenvs_tpu.physics.state import Control, State
+from omniisaacgymenvs_tpu.utils.domain_randomization import combine_overlays
 
 
 @flax.struct.dataclass
@@ -119,6 +120,18 @@ class RLTask:
         what the time-limit/timeout check must see."""
         return progress
 
+    def resample_reset(self, key: jax.Array, es: "EnvState") -> "EnvState":
+        """Fresh state for the auto-reset merge. Default: self.reset(key).
+        Tasks whose reset depends on the DYING episode's state (terrain
+        curriculum: walked distance -> next level, reference
+        anymal_terrain.py update_terrain_level) override this."""
+        return self.reset(key)
+
+    def pre_physics(self, es: "EnvState", key: jax.Array) -> "EnvState":
+        """State perturbation before actions apply (reference random robot
+        pushes, anymal_terrain.py:355-357). Default: identity."""
+        return es
+
     # -- cross-env episode statistics --------------------------------
     # Per-env metrics can't express batch reductions (e.g. the reference's
     # completed-episode consecutive-success EMA, in_hand_manipulation
@@ -136,13 +149,24 @@ class RLTask:
         rng, key = jax.random.split(rng)
         q, qd, carry = self.sample_reset(key)
         if self._dr_on and isinstance(carry, dict):
-            kc, ko = jax.random.split(jax.random.fold_in(key, 17))
+            kc, ko, ks = jax.random.split(jax.random.fold_in(key, 17), 3)
             dr = self.randomizer.sample_correlated(
                 kc, self.num_obs, self.num_actions
             )
-            overlay = self.randomizer.sample_overlay(ko, self.model)
+            overlay = self.randomizer.sample_overlay(
+                ko, self.model, self.dr_views
+            )
             if overlay is not None:
                 dr["overlay"] = overlay
+            # on_startup overlay: sampled here only for the env's FIRST
+            # reset; step() restores the previous values across auto-resets
+            # so it stays fixed per env for the whole run (reference
+            # randomize.py:525-578 on_startup semantics)
+            startup = self.randomizer.sample_startup_overlay(
+                ks, self.model, self.dr_views
+            )
+            if startup is not None:
+                dr["startup"] = startup
             carry["_dr"] = dr
         phys = self.engine.init_state(q, qd)
         zero_action = jnp.zeros(self.num_actions)
@@ -179,7 +203,12 @@ class RLTask:
             # tasks may update carry in-place inside control(); give each
             # step its own dict so merged/branched states stay independent
             es = es.replace(carry=dict(es.carry))
-        fresh = self.reset(key_reset)
+        old_startup = (
+            es.carry.get("_dr", {}).get("startup")
+            if isinstance(es.carry, dict)
+            else None
+        )
+        fresh = self.resample_reset(key_reset, es)
         es = jax.tree.map(
             lambda new, old: jnp.where(
                 jnp.reshape(es.done, (1,) * new.ndim), new, old
@@ -189,9 +218,24 @@ class RLTask:
             fresh,
             es,
         )
+        es = self.pre_physics(es, jax.random.fold_in(rng, 7))
+        if old_startup is not None:
+            # on_startup DR persists across episode resets: undo the merge's
+            # fresh sample (reference on_startup = once per env, ever)
+            es.carry["_dr"] = dict(es.carry["_dr"], startup=old_startup)
 
         action = jnp.clip(action, -self.clip_actions, self.clip_actions)
         dr = es.carry.get("_dr", {}) if isinstance(es.carry, dict) else {}
+        if self._dr_on and self.randomizer.has_interval_overlays():
+            # on_interval physics params re-sampled every freq steps
+            dr = dict(
+                dr,
+                overlay=self.randomizer.update_interval_overlay(
+                    dr.get("overlay"), jax.random.fold_in(es.rng, 37),
+                    self.model, es.progress, self.dr_views,
+                ),
+            )
+            es.carry["_dr"] = dr
         if self._dr_on:
             # reference envs/vec_env_rlgames.py:59-60 — randomize actions
             # after clipping, before pre_physics_step
@@ -199,7 +243,8 @@ class RLTask:
                 action, jax.random.fold_in(es.rng, 23), dr, es.progress
             )
         ctrl = self.control(action, es)
-        phys = self.physics_steps(es.phys, ctrl, dr.get("overlay"))
+        overlay = combine_overlays(dr.get("startup"), dr.get("overlay"))
+        phys = self.physics_steps(es.phys, ctrl, overlay)
         progress = es.progress + 1
         obs, states, carry = self.observe(phys, es.carry, action)
         reward, done, carry, metrics = self.reward_done(

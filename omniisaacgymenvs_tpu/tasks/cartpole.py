@@ -16,7 +16,10 @@ import jax
 import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.cartpole import build_cartpole
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 
@@ -46,10 +49,9 @@ class CartpoleTask(RLTask):
         self.model = build_cartpole()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=sim_cfg.get("dt", 1.0 / 120.0),
-                substeps=1,
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=1.0 / 120.0, substeps=1,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self._cart_dof = self.model.dof_index("cartJoint")

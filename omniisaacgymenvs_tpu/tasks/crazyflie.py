@@ -18,7 +18,11 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.flyers import build_crazyflie
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
+from omniisaacgymenvs_tpu.envs.views import RigidPrimView
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 _EPS = 1e-6
@@ -47,16 +51,18 @@ class CrazyflieTask(RLTask):
         self.model = build_crazyflie()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=self.dt, substeps=sim_cfg.get("substeps", 1),
-                gravity=gravity,
+            sim_params_from_cfg(
+                dict(sim_cfg, dt=self.dt, gravity=list(gravity)),
+                substeps=1,
             ),
         )
         self.motor_tau_up = min(4 * self.dt / (self.motor_damp_time + _EPS), 1.0)
         self.motor_tau_down = min(4 * self.dt / (self.motor_damp_time + _EPS), 1.0)
         self.thrust_max = -gravity[2] * self.mass * self.thrust_to_weight / 4.0
-        self._rotor_bodies = jnp.array(
-            [self.model.body_index(f"m{i + 1}_prop") for i in range(4)]
+        # rotor bundle as a view (reference CrazyflieView rotors,
+        # robots/articulations/views/crazyflie_view.py)
+        self._rotors = RigidPrimView(
+            self.model, [f"m{i + 1}_prop" for i in range(4)]
         )
 
     def initial_carry(self):
@@ -105,8 +111,9 @@ class CrazyflieTask(RLTask):
             jnp.broadcast_to(root_quat, (4, 4)),
             jnp.concatenate([jnp.zeros((4, 2)), thrusts[:, None]], axis=-1),
         )
-        body_force = jnp.zeros((m.nb, 3)).at[self._rotor_bodies].set(f_world)
-        return self.engine.default_control().replace(body_force=body_force)
+        return self._rotors.apply_forces(
+            self.engine.default_control(), f_world
+        )
 
     def observe(self, phys, carry, action):
         quat = phys.q[3:7]

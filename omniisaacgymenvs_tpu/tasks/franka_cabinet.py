@@ -19,7 +19,10 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models import franka_cabinet as fcm
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 
@@ -58,10 +61,9 @@ class FrankaCabinetTask(RLTask):
         self._drawer_body = drawer_body
         self.engine = PhysicsEngine(
             model,
-            SimParams(
-                dt=sim_cfg.get("dt", 1.0 / 120.0),
-                substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=1.0 / 120.0, substeps=2,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self._hand_body = model.body_index("panda_joint7")

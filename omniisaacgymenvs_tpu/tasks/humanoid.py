@@ -17,7 +17,10 @@ from omniisaacgymenvs_tpu.models.humanoid import (
     HUMANOID_JOINT_GEARS,
     build_humanoid,
 )
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.shared.locomotion import LocomotionTask
 
 
@@ -43,10 +46,9 @@ class HumanoidLocomotionTask(LocomotionTask):
         self.model = build_humanoid()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=sim_cfg.get("dt", 1.0 / 120.0),
-                substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=1.0 / 120.0, substeps=2,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self.joint_gears = jnp.asarray(HUMANOID_JOINT_GEARS)

@@ -16,7 +16,11 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.flyers import build_ingenuity
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
+from omniisaacgymenvs_tpu.envs.views import RigidPrimView
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 
@@ -41,14 +45,15 @@ class IngenuityTask(RLTask):
         self.model = build_ingenuity()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=self.dt,
-                substeps=sim_cfg.get("substeps", 1),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -3.721))),
+            sim_params_from_cfg(
+                dict(sim_cfg, dt=self.dt), substeps=1,
+                gravity=(0.0, 0.0, -3.721),
             ),
         )
-        self._rotor_bodies = jnp.array(
-            [self.model.body_index(f"rotor_physics_{i}") for i in range(2)]
+        # rotor bundle as a view (reference IngenuityView rotors,
+        # robots/articulations/views/ingenuity_view.py)
+        self._rotors = RigidPrimView(
+            self.model, [f"rotor_physics_{i}" for i in range(2)]
         )
 
     def initial_carry(self):
@@ -89,13 +94,11 @@ class IngenuityTask(RLTask):
             [vert[:, None] * lat, (self.dt * vert)[:, None]], axis=-1
         )
         thrust_local = thrust_local.at[:, 0:2].multiply(self.dt)
-        # local -> world via rotor body rotation
-        rotor_quats = es.phys.body_quat[self._rotor_bodies]
-        f_world = rot.quat_rotate(rotor_quats, thrust_local)
-        body_force = jnp.zeros((self.model.nb, 3)).at[self._rotor_bodies].set(
-            f_world
+        # local -> world via the rotor bodies' rotations (view)
+        return self._rotors.apply_forces(
+            self.engine.default_control(), thrust_local,
+            is_global=False, state=es.phys,
         )
-        return self.engine.default_control().replace(body_force=body_force)
 
     def observe(self, phys, carry, action):
         obs = jnp.concatenate(

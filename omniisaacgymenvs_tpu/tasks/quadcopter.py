@@ -15,7 +15,11 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models.flyers import build_quadcopter
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
+from omniisaacgymenvs_tpu.envs.views import RigidPrimView
 from omniisaacgymenvs_tpu.tasks.base import EnvState, RLTask
 
 
@@ -39,14 +43,15 @@ class QuadcopterTask(RLTask):
         self.model = build_quadcopter()
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=self.dt,
-                substeps=sim_cfg.get("substeps", 1),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                dict(sim_cfg, dt=self.dt), substeps=1,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
-        self._rotor_bodies = jnp.array(
-            [self.model.body_index(f"rotor_{i}") for i in range(4)]
+        # rotor bundle as a view (reference QuadcopterView rotors,
+        # robots/articulations/views/quadcopter_view.py)
+        self._rotors = RigidPrimView(
+            self.model, [f"rotor_{i}" for i in range(4)]
         )
 
     def initial_carry(self):
@@ -83,14 +88,12 @@ class QuadcopterTask(RLTask):
         )
         es.carry["dof_targets"] = dof_targets
         es.carry["thrusts"] = thrusts
-        rotor_quats = es.phys.body_quat[self._rotor_bodies]
         f_local = jnp.concatenate(
             [jnp.zeros((4, 2)), thrusts[:, None]], axis=-1
         )
-        f_world = rot.quat_rotate(rotor_quats, f_local)
-        body_force = jnp.zeros((m.nb, 3)).at[self._rotor_bodies].set(f_world)
-        return self.engine.default_control().replace(
-            pos_target=dof_targets, body_force=body_force
+        ctrl = self.engine.default_control().replace(pos_target=dof_targets)
+        return self._rotors.apply_forces(
+            ctrl, f_local, is_global=False, state=es.phys
         )
 
     def observe(self, phys, carry, action):

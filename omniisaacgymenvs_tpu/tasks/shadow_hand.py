@@ -14,7 +14,10 @@ import jax.numpy as jnp
 
 from omniisaacgymenvs_tpu.models import shadow_hand as shm
 from omniisaacgymenvs_tpu.physics import rotations as rot
-from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+from omniisaacgymenvs_tpu.physics.engine import (
+    PhysicsEngine,
+    sim_params_from_cfg,
+)
 from omniisaacgymenvs_tpu.tasks.shared.in_hand_manipulation import (
     InHandManipulationTask,
 )
@@ -27,6 +30,7 @@ class ShadowHandTask(InHandManipulationTask):
     num_actions = 20
     fingertip_bodies = shm.FINGERTIP_BODIES
     force_torque_obs_scale = 10.0
+    dr_view_name = "shadow_hand_view"  # reference ShadowHandView name
 
     def __init__(self, cfg: dict | None = None):
         cfg = cfg or {}
@@ -39,13 +43,16 @@ class ShadowHandTask(InHandManipulationTask):
         self.asymmetric_obs = env_cfg.get("asymmetric_observations", False)
         self.num_states = 187 if self.asymmetric_obs else 0
 
-        self.model = shm.build_shadow_hand()
+        self.model = shm.build_shadow_hand(
+            self_collisions=sim_cfg.get("shadow_hand", {}).get(
+                "enable_self_collisions", False
+            )
+        )
         self.engine = PhysicsEngine(
             self.model,
-            SimParams(
-                dt=sim_cfg.get("dt", 1.0 / 120.0),
-                substeps=sim_cfg.get("substeps", 2),
-                gravity=tuple(sim_cfg.get("gravity", (0.0, 0.0, -9.81))),
+            sim_params_from_cfg(
+                sim_cfg, dt=1.0 / 120.0, substeps=2,
+                gravity=(0.0, 0.0, -9.81),
             ),
         )
         self.goal_pos = jnp.asarray(shm.GOAL_POS)
@@ -69,11 +76,10 @@ class ShadowHandTask(InHandManipulationTask):
         dof_pos_scaled = rot.unscale(
             dof_pos, m.dof_limit_lower, m.dof_limit_upper
         )
-        tip_pos = phys.body_pos[self._tips].reshape(-1)
-        tip_rot = phys.body_quat[self._tips].reshape(-1)
-        tip_vel = jnp.concatenate(
-            [phys.body_lvel[self._tips], phys.body_avel[self._tips]], axis=-1
-        ).reshape(-1)
+        tp, tr = self.tips_view.get_world_poses(phys)
+        tip_pos = tp.reshape(-1)
+        tip_rot = tr.reshape(-1)
+        tip_vel = self.tips_view.get_velocities(phys).reshape(-1)
         sensors = phys.sensor_forces.reshape(-1)
 
         if self.obs_type == "openai":

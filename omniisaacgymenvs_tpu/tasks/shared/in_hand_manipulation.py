@@ -36,6 +36,7 @@ class InHandManipulationTask(RLTask):
     fingertip_bodies: tuple = ()
     goal_pos: jnp.ndarray
     object_start: jnp.ndarray
+    dr_view_name: str = "hand_view"        # yaml articulation view name
 
     def __init__(self, cfg: dict | None = None):
         cfg = cfg or {}
@@ -62,10 +63,21 @@ class InHandManipulationTask(RLTask):
         self.clip_actions = env_cfg.get("clipActions", 1.0)
         self.decimation = env_cfg.get("controlFrequencyInv", 2)
         self.dt = 1.0 / 60.0  # reference in_hand_manipulation.py:83
+        # random object force perturbations (reference
+        # cfg/task/ShadowHandOpenAI_FF.yaml:29-33; IsaacGym-lineage rb_forces
+        # semantics: exponential decay + per-step Bernoulli re-kick)
+        self.force_scale = env_cfg.get("forceScale", 0.0)
+        self.force_prob_range = tuple(
+            env_cfg.get("forceProbRange", (0.001, 0.1))
+        )
+        self.force_decay = env_cfg.get("forceDecay", 0.99)
+        self.force_decay_interval = env_cfg.get("forceDecayInterval", 0.08)
 
     # ------------------------------------------------------------------
     def _post_model_init(self):
         """Call after subclass builds self.model/engine."""
+        import numpy as np
+
         m = self.model
         self._obj_q = m.root_q_adr("object")
         self._obj_v = m.root_v_adr("object")
@@ -74,15 +86,40 @@ class InHandManipulationTask(RLTask):
         self._tips = jnp.array(
             [m.body_index(n) for n in self.fingertip_bodies]
         )
+        # fingertip bundle as a view (reference ShadowHandView._fingers /
+        # AllegroHandView fingertip RigidPrimView)
+        from omniisaacgymenvs_tpu.envs.views import RigidPrimView
+
+        self.tips_view = RigidPrimView(m, list(self.fingertip_bodies))
+        self._obj_mass = float(m.body_mass[self._obj_body])
+        # DR view map: the yaml's articulation/rigid-prim view names ->
+        # model index subsets (reference views shadow_hand_view/object_view)
+        hand_bodies = np.array(
+            [i for i in range(m.nb) if i != self._obj_body], np.int32
+        )
+        self.dr_views = {
+            self.dr_view_name: dict(
+                dofs=np.arange(m.njd, dtype=np.int32),
+                bodies=hand_bodies,
+                tendons=np.arange(m.nt, dtype=np.int32),
+            ),
+            "object_view": dict(
+                bodies=np.array([self._obj_body], np.int32)
+            ),
+        }
 
     def initial_carry(self):
         m = self.model
-        return dict(
+        carry = dict(
             goal_rot=rot.quat_identity(),
             cur_targets=jnp.zeros(m.njd),
             successes=jnp.zeros(()),
             reset_goal=jnp.zeros((), bool),
         )
+        if self.force_scale > 0:
+            carry["rb_force"] = jnp.zeros(3)
+            carry["force_prob"] = jnp.asarray(self.force_prob_range[0])
+        return carry
 
     def initial_metrics(self):
         return dict(successes=jnp.zeros(()))
@@ -119,7 +156,7 @@ class InHandManipulationTask(RLTask):
     def sample_reset(self, rng):
         m = self.model
         nhd = m.njd
-        k = jax.random.split(rng, 5)
+        k = jax.random.split(rng, 6)
         rand2 = jax.random.uniform(k[0], (2,), minval=-1.0, maxval=1.0)
         new_rot = randomize_rotation(rand2[0], rand2[1])
         pos_noise = self.reset_position_noise * jax.random.uniform(
@@ -151,6 +188,14 @@ class InHandManipulationTask(RLTask):
         carry = self.initial_carry()
         carry["goal_rot"] = goal_rot
         carry["cur_targets"] = dof_pos
+        if self.force_scale > 0:
+            # per-env force probability, log-uniform over forceProbRange
+            lo, hi = self.force_prob_range
+            carry["force_prob"] = jnp.exp(
+                jax.random.uniform(
+                    k[5], (), minval=jnp.log(lo), maxval=jnp.log(hi)
+                )
+            )
         return q, qd, carry
 
     # ------------------------------------------------------------------
@@ -186,7 +231,28 @@ class InHandManipulationTask(RLTask):
         for follower, leader in self.coupled_pairs:
             targets = targets.at[follower].set(targets[leader])
         carry["cur_targets"] = targets
-        return self.engine.default_control().replace(pos_target=targets)
+        ctrl = self.engine.default_control().replace(pos_target=targets)
+        if self.force_scale > 0:
+            # random object force perturbations (reference
+            # ShadowHandOpenAI_FF.yaml force block): exponential decay every
+            # step, Bernoulli(force_prob) re-kick ~ N(0,1)*mass*scale
+            kf = jax.random.fold_in(es.rng, 41)
+            k_p, k_f = jax.random.split(kf)
+            decay = self.force_decay ** (self.dt / self.force_decay_interval)
+            force = carry["rb_force"] * decay
+            kick = (
+                jax.random.normal(k_f, (3,))
+                * self._obj_mass * self.force_scale
+            )
+            force = jnp.where(
+                jax.random.uniform(k_p, ()) < carry["force_prob"],
+                kick, force,
+            )
+            carry["rb_force"] = force
+            ctrl = ctrl.replace(
+                body_force=ctrl.body_force.at[self._obj_body].set(force)
+            )
+        return ctrl
 
     # ------------------------------------------------------------------
     def _object_goal_obs(self, phys, carry):

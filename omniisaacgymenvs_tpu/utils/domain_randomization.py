@@ -213,12 +213,16 @@ class Randomizer:
     # simulation / articulation / rigid-prim parameter overlays
     def _entries(self, model, views, gate):
         """All (overlay_key, kind, mask_indices|None, size, spec) for one
-        gate across the view groups + simulation block."""
-        views = views or {}
+        gate across the view groups + simulation block. `views` maps the
+        yaml's view names to model index sets; with no map every index is
+        randomized; with a map, unknown view names are skipped (e.g. the
+        reference's goal_view, a visual-only prim)."""
         out = []
         for group in ("articulation_views", "rigid_prim_views"):
             for view_name, props in (self._spec(group) or {}).items():
-                vmap = views.get(view_name, {})
+                if views is not None and view_name not in views:
+                    continue
+                vmap = (views or {}).get(view_name, {})
                 for prop, gates in (props or {}).items():
                     if prop not in _PROP_MAP:
                         continue

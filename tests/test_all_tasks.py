@@ -26,6 +26,7 @@ _FAST = [n for n in REFERENCE_NAMES
          if n not in ("AnymalTerrain", "ShadowHandOpenAI_LSTM")]
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name", _FAST)
 def test_construct_and_step(name):
     cfg = None

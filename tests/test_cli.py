@@ -6,6 +6,10 @@ types — and assert the run-dir artifacts (config dump, TensorBoard events,
 checkpoints) and checkpoint-resume/eval paths work end to end on CPU.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import glob
 import os
 

@@ -1,6 +1,10 @@
 """Fixed-seed reproducibility (BASELINE.md: fixed-seed trajectory match)
 and checkpoint/resume roundtrip."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import numpy as np
 

@@ -75,3 +75,129 @@ def test_dr_schedulable_parameters():
     r.set_dr_distribution_parameters([0.0, 0.1], "observations", "on_reset")
     assert r.get_dr_distribution_parameters(
         "observations", "on_reset") == [0.0, 0.1]
+
+
+def test_reference_shadowhand_dr_block_parses_and_maps():
+    """The full reference DR block (cfg/task/ShadowHandOpenAI_FF.yaml:
+    138-221) must parse and map every property onto an engine overlay key
+    with view-correct masking."""
+    from omniisaacgymenvs_tpu.utils.config import load_config
+    from omniisaacgymenvs_tpu.utils.domain_randomization import Randomizer
+
+    cfg = load_config({"task": "ShadowHandOpenAI_FF"})
+    dr_cfg = cfg["task"]["domain_randomization"]
+    assert dr_cfg["randomize"] is True
+    r = Randomizer(dr_cfg)
+
+    task = get_task("ShadowHand")  # same model family; has dr_views
+    m = task.model
+    views = task.dr_views
+    obj = m.body_index("object")
+
+    k = jax.random.PRNGKey(0)
+    ov = r.sample_overlay(k, m, views)
+    # on_reset properties: hand stiffness/damping, dof limit deltas,
+    # tendon scales, material friction on both views
+    assert set(ov) == {
+        "stiffness_scale", "damping_scale", "limit_lower_delta",
+        "limit_upper_delta", "tendon_stiffness_scale",
+        "tendon_damping_scale", "friction_scale",
+    }
+    assert ov["stiffness_scale"].shape == (m.njd,)
+    assert ov["tendon_stiffness_scale"].shape == (m.nt,)
+    assert m.nt == 4  # the four J0<->J1 tendons exist to be randomized
+    # loguniform scaling stays positive and non-neutral somewhere
+    assert np.all(np.asarray(ov["stiffness_scale"]) > 0)
+    assert np.abs(np.asarray(ov["stiffness_scale"]) - 1).max() > 1e-3
+    # dof limit deltas are additive around 0
+    assert np.abs(np.asarray(ov["limit_lower_delta"])).max() < 0.1
+
+    # on_startup: object scale + mass only, masked to the object body
+    st = r.sample_startup_overlay(k, m, views)
+    assert set(st) == {"geom_scale", "mass_scale"}
+    gs = np.asarray(st["geom_scale"])
+    ms = np.asarray(st["mass_scale"])
+    hand = [i for i in range(m.nb) if i != obj]
+    assert gs[obj] != 1.0 and np.allclose(gs[hand], 1.0)
+    assert 0.5 <= ms[obj] <= 1.5 and np.allclose(ms[hand], 1.0)
+
+    # on_interval: gravity delta re-sampled every 720 steps
+    assert r.has_interval_overlays()
+    ov2 = r.update_interval_overlay(
+        dict(ov), jax.random.PRNGKey(1), m, jnp.asarray(0), views
+    )
+    assert "gravity_delta" in ov2 and ov2["gravity_delta"].shape == (3,)
+    # off-phase step keeps the current value
+    ov3 = r.update_interval_overlay(
+        dict(ov2), jax.random.PRNGKey(2), m, jnp.asarray(5), views
+    )
+    np.testing.assert_allclose(
+        np.asarray(ov3["gravity_delta"]), np.asarray(ov2["gravity_delta"])
+    )
+
+
+def test_every_overlay_key_alters_dynamics():
+    """Each engine overlay key must verifiably change the simulation
+    (VERDICT round-1 item 4) — checked on a small tendon-coupled model
+    with ground + pair contacts via the XLA substep."""
+    from tests.test_tendons import _two_joint_finger
+    from omniisaacgymenvs_tpu.physics.engine import PhysicsEngine, SimParams
+    from omniisaacgymenvs_tpu.physics.model import JointType, ModelBuilder
+
+    # finger + free ball resting on it (for pair/geom/friction effects)
+    b = ModelBuilder("rig")
+    base = b.add_body("base", parent=-1, joint_type=JointType.FIXED,
+                      mass=1.0, inertia=(0.01,) * 3)
+    j1 = b.add_body("J1", parent=base, joint_type=JointType.REVOLUTE,
+                    joint_axis=(1, 0, 0), joint_pos=(0, 0, 0.2),
+                    limit=(-1.0, 1.0), mass=0.05, inertia=(1e-4,) * 3,
+                    stiffness=2.0, drive_damping=0.2, max_effort=5.0,
+                    armature=1e-3)
+    b.add_box_collider(j1, (0, 0.05, 0), (0.06, 0.06, 0.01), receive=True)
+    j0 = b.add_body("J0", parent=j1, joint_type=JointType.REVOLUTE,
+                    joint_axis=(1, 0, 0), joint_pos=(0, 0.1, 0),
+                    limit=(-1.0, 1.0), mass=0.02, inertia=(5e-5,) * 3,
+                    armature=1e-3, damping=0.01)
+    b.add_capsule_collider(j0, (0, 0, 0), (0, 0.05, 0), 0.01)
+    b.add_fixed_tendon("J1", "J0", coef=(1.0, -1.0), damping=0.1,
+                       limit_stiffness=30.0)
+    ball = b.add_body("ball", parent=-1, joint_type=JointType.FREE,
+                      mass=0.05, inertia=(2e-6,) * 3,
+                      default_pos=(0.0, 0.05, 0.24))
+    b.add_sphere_collider(ball, (0, 0, 0), 0.02, receive=True)
+    m = b.finalize()
+    eng = PhysicsEngine(m, SimParams(dt=1.0 / 60.0, substeps=2))
+
+    h = eng.params.dt / eng.params.substeps
+    ctrl = eng.default_control().replace(
+        pos_target=jnp.array([0.6, 0.0])
+    )
+    fa = jnp.zeros((m.nb, 6))
+    q0 = m.default_q
+    qd0 = jnp.zeros(m.nv) + 0.05
+
+    def run(overlay, n=30):
+        q, qd = q0, qd0
+        for _ in range(n):
+            q, qd, _sf = eng._substep(q, qd, ctrl, fa, h, overlay or None)
+        return np.asarray(q)
+
+    base_q = run(None)
+    overlays = {
+        "stiffness_scale": jnp.full(m.njd, 1.7),
+        "damping_scale": jnp.full(m.njd, 3.0),
+        "mass_scale": jnp.full(m.nb, 1.6),
+        "friction_scale": jnp.full(m.nb, 0.05),
+        "geom_scale": jnp.ones(m.nb).at[ball].set(1.6),
+        "gravity_delta": jnp.array([0.0, 0.0, 4.0]),
+        # raise the lower limit ABOVE the start pose so the projection fires
+        "limit_lower_delta": jnp.full(m.njd, 1.2),
+        "limit_upper_delta": jnp.full(m.njd, -0.55),
+        "tendon_stiffness_scale": jnp.full(m.nt, 0.05),
+        "tendon_damping_scale": jnp.full(m.nt, 30.0),
+    }
+    for key, val in overlays.items():
+        alt_q = run({key: val})
+        assert np.abs(alt_q - base_q).max() > 1e-5, (
+            f"overlay {key} had no effect on the rollout"
+        )

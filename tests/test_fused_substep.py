@@ -1,5 +1,9 @@
 """Fused substep kernel math vs the reference XLA path (CPU, no Pallas)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -295,8 +299,11 @@ def test_fused_math_dr_overlay():
         "mass_scale": u((N, m.nb), 0.7, 1.3),
         "stiffness_scale": u((N, m.njd), 0.8, 1.2),
         "damping_scale": u((N, m.njd), 0.8, 1.2),
-        "friction_scale": u((N,), 0.6, 1.4),
+        "friction_scale": u((N, m.nb), 0.6, 1.4),
+        "geom_scale": u((N, m.nb), 0.9, 1.1),
         "gravity_delta": u((N, 3), -0.5, 0.5),
+        "limit_lower_delta": u((N, m.njd), -0.05, 0.0),
+        "limit_upper_delta": u((N, m.njd), 0.0, 0.05),
     }
 
     (qf, qdf, _), (qr, qdr, _) = _run_both(

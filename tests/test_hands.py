@@ -27,15 +27,19 @@ def test_dims(name, num_obs, num_states, num_act):
 
 
 def test_object_rests_on_palm():
-    """Zero actions: the cube must sit on the palm (pair contacts), not
-    fall through it."""
-    env = VecEnv(get_task("ShadowHand"), 4)
+    """Zero actions: the cube population must come to REST on the palm.
+    A randomly-oriented cube can legitimately topple off (the reference
+    behaves the same — untrained episodes end within a second by
+    fallDistance), but a fallen env auto-resets and the re-dropped cube
+    settles — so after 1 s every env must be sitting on the palm, with no
+    tunneling through it (stiction + dense box contact sampling)."""
+    env = VecEnv(get_task("ShadowHand"), 8)
     es = env.reset(seed=0)
     for _ in range(60):
-        es = env.step(es, jnp.zeros((4, 20)))
+        es = env.step(es, jnp.zeros((8, 20)))
     qa = env.task._obj_q
     z = np.asarray(es.phys.q[:, qa + 2])
-    assert np.all(z > 0.40), z  # palm top ~0.50; edge-wedged blocks sag
+    assert np.all(z > 0.45), z  # palm top ~0.50
     assert np.all(np.isfinite(np.asarray(es.obs)))
 
 

@@ -7,6 +7,10 @@ minibatch SGD, incl. the asymmetric central-value and LSTM variants) at
 tiny scale on CPU (reference cfg/train/*PPO.yaml, SURVEY.md §2.5).
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import dataclasses
 import os
 
