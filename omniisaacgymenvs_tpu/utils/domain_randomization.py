@@ -275,8 +275,20 @@ class Randomizer:
         return out
 
     def sample_overlay(self, rng, model, views=None) -> Optional[dict]:
-        """Per-episode (on_reset) physics parameter overlay."""
-        return self._sample_gate(rng, model, views, "on_reset")
+        """Per-episode (on_reset) physics parameter overlay. Keys that are
+        only on_interval-gated get NEUTRAL initial values so the carry
+        pytree structure is identical on every step (lax.scan requires it —
+        update_interval_overlay where-merges into these)."""
+        out = self._sample_gate(rng, model, views, "on_reset")
+        ientries = self._entries(model, views, "on_interval")
+        if ientries:
+            out = dict(out or {})
+            for key, kind, mask, size, spec in ientries:
+                if key not in out:
+                    out[key] = (
+                        jnp.ones(size) if kind == "scale" else jnp.zeros(size)
+                    )
+        return out or None
 
     def sample_startup_overlay(self, rng, model, views=None) -> Optional[dict]:
         """Once-per-env (on_startup) overlay — persisted across resets by

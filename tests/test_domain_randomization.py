@@ -102,7 +102,11 @@ def test_reference_shadowhand_dr_block_parses_and_maps():
         "stiffness_scale", "damping_scale", "limit_lower_delta",
         "limit_upper_delta", "tendon_stiffness_scale",
         "tendon_damping_scale", "friction_scale",
+        # on_interval-only key present from reset with a NEUTRAL value so
+        # the carry pytree structure is step-invariant under lax.scan
+        "gravity_delta",
     }
+    np.testing.assert_array_equal(np.asarray(ov["gravity_delta"]), 0.0)
     assert ov["stiffness_scale"].shape == (m.njd,)
     assert ov["tendon_stiffness_scale"].shape == (m.nt,)
     assert m.nt == 4  # the four J0<->J1 tendons exist to be randomized
