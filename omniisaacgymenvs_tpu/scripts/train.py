@@ -38,8 +38,10 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
     count = jnp.zeros(env.num_envs)
     ep_ret = jnp.zeros(env.num_envs)
 
+    stats = env.task.episode_stats_init()
+
     def step(carry, _):
-        es, hidden, cv_hidden, ep_ret, total, count = carry
+        es, hidden, cv_hidden, ep_ret, total, count, stats = carry
         mu, _v, _s, hidden, cv_hidden = trainer._policy(
             ts.params, ts, es.obs, es.states, hidden, cv_hidden
         )
@@ -56,15 +58,20 @@ def evaluate(trainer: PPOTrainer, episodes_envs: int = 1, steps: int = 1000):
         total = total + jnp.where(es.done, ep_ret, 0.0)
         count = count + es.done
         ep_ret = jnp.where(es.done, 0.0, ep_ret)
-        return (es, hidden, cv_hidden, ep_ret, total, count), None
+        stats = env.task.episode_stats_update(stats, es)
+        return (es, hidden, cv_hidden, ep_ret, total, count, stats), None
 
     @jax.jit
     def rollout(carry):
         return jax.lax.scan(step, carry, None, length=steps)[0]
 
-    es, _, _, ep_ret, total, count = rollout(
-        (es, ts.hidden, ts.cv_hidden, ep_ret, total, count)
+    es, _, _, ep_ret, total, count, stats = rollout(
+        (es, ts.hidden, ts.cv_hidden, ep_ret, total, count, stats)
     )
+    if isinstance(stats, dict):
+        for k, v in stats.items():
+            # task sentinels (e.g. the hands' consecutive-success EMA)
+            print(f"eval: {k} = {float(v):.2f}")
     n = float(jnp.sum(count))
     if n == 0:
         # no episode finished within the horizon: report the mean running

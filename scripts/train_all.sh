@@ -18,7 +18,7 @@ fi
 
 for t in "${TASKS[@]}"; do
   echo "=== training $t ($(date -u +%H:%M:%S)) ==="
-  timeout 10800 python -m omniisaacgymenvs_tpu.scripts.train \
+  timeout "${TASK_TIMEOUT:-5400}" python -m omniisaacgymenvs_tpu.scripts.train \
     task="$t" experiment="$t" > "runs/logs/$t.log" 2>&1
   rc=$?
   echo "=== $t done rc=$rc ($(date -u +%H:%M:%S)) ==="
