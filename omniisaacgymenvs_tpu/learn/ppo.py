@@ -16,6 +16,7 @@ mini_epochs x minibatch SGD.
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import time
 from typing import Any, Optional, Sequence
@@ -773,7 +774,11 @@ class PPOTrainer:
         if self.use_cv:
             target["cv_params"] = self.state.cv_params
             target["cv_opt_state"] = self.state.cv_opt_state
-        payload = ckptr.restore(path, item=target)
+        # explicit per-leaf restore args (sharding taken from the live
+        # target arrays): a checkpoint written on TPU restores on CPU and
+        # vice versa — orbax's default would try the recorded device
+        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        payload = ckptr.restore(path, item=target, restore_args=restore_args)
         self.state = self.state.replace(**payload)
 
     # ------------------------------------------------------------------
@@ -791,6 +796,7 @@ class PPOTrainer:
         profile_start: int = 3,
         profile_epochs: int = 2,
         epochs_per_jit: int = 1,
+        history_path: Optional[str] = None,
     ):
         """Python driver loop over jitted epoch chunks.
 
@@ -892,8 +898,14 @@ class PPOTrainer:
                     stop = True
                     if not (e % log_every == 0 or last):
                         history.append(m)  # record the stopping epoch
+            boundary = (epoch + k) // save_frequency > epoch // save_frequency
+            if boundary and history_path:
+                # incremental dump: a campaign run capped by `timeout` still
+                # leaves its learning curve behind for LEARNING.json
+                with open(history_path, "w") as f:
+                    json.dump(history, f)
             if save_dir:
-                if (epoch + k) // save_frequency > epoch // save_frequency:
+                if boundary:
                     self.save(os.path.join(save_dir, "last"))
                 m_last = per_epoch[-1]
                 if (

@@ -130,6 +130,7 @@ def main(argv=None):
             # epochs per XLA program: amortizes the tunneled runtime's fixed
             # per-dispatch cost; checkpoints land at chunk boundaries
             epochs_per_jit=int(cfg.get("epochs_per_jit", 10)),
+            history_path=os.path.join(run_dir, "history.json"),
         )
     finally:
         writer.close()
