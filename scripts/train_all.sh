@@ -16,11 +16,48 @@ if [ ${#TASKS[@]} -eq 0 ]; then
          ShadowHand ShadowHandOpenAI_FF ShadowHandOpenAI_LSTM)
 fi
 
+# Each task gets one automatic retry: the tunneled TPU runtime very rarely
+# wedges on device hand-off (first exec call never returns); a watchdog in
+# the wrapper below kills a run with no log growth for WATCHDOG_S seconds.
+run_one() {
+  local t="$1" log="runs/logs/$1.log"
+  timeout "${TASK_TIMEOUT:-5400}" python -u -m omniisaacgymenvs_tpu.scripts.train \
+    task="$t" experiment="$t" > "$log" 2>&1 &
+  local pid=$!
+  local last_size=0 idle=0
+  while kill -0 "$pid" 2>/dev/null; do
+    sleep 30
+    local size
+    size=$(stat -c %s "$log" 2>/dev/null || echo 0)
+    if [ "$size" -eq "$last_size" ]; then
+      idle=$((idle + 30))
+      if [ "$idle" -ge "${WATCHDOG_S:-600}" ]; then
+        echo "--- watchdog: $t silent ${idle}s, killing $pid" >> "$log"
+        kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+        wait "$pid" 2>/dev/null
+        return 99
+      fi
+    else
+      idle=0; last_size=$size
+    fi
+  done
+  wait "$pid"
+}
+
 for t in "${TASKS[@]}"; do
   echo "=== training $t ($(date -u +%H:%M:%S)) ==="
-  timeout "${TASK_TIMEOUT:-5400}" python -m omniisaacgymenvs_tpu.scripts.train \
-    task="$t" experiment="$t" > "runs/logs/$t.log" 2>&1
+  run_one "$t"
   rc=$?
+  # rc=124 is the intentional TASK_TIMEOUT cap (checkpoints + history are
+  # already on disk) — don't retry those
+  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
+    echo "=== $t rc=$rc; retrying once ($(date -u +%H:%M:%S)) ==="
+    sleep 10
+    mv "runs/logs/$t.log" "runs/logs/$t.try1.log" 2>/dev/null
+    run_one "$t"
+    rc=$?
+  fi
   echo "=== $t done rc=$rc ($(date -u +%H:%M:%S)) ==="
   tail -3 "runs/logs/$t.log"
+  sleep 5
 done
