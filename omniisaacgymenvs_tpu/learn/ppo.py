@@ -774,10 +774,17 @@ class PPOTrainer:
         if self.use_cv:
             target["cv_params"] = self.state.cv_params
             target["cv_opt_state"] = self.state.cv_opt_state
-        # explicit per-leaf restore args (sharding taken from the live
-        # target arrays): a checkpoint written on TPU restores on CPU and
-        # vice versa — orbax's default would try the recorded device
-        restore_args = ocp.checkpoint_utils.construct_restore_args(target)
+        # restore every leaf to host numpy: platform-independent (a
+        # checkpoint written on TPU loads on CPU and vice versa) and
+        # UNCOMMITTED, so the next jitted dispatch is free to place/shard
+        # it to match the env state (orbax's default restores to the
+        # recorded device, which may not exist here; committed
+        # single-device arrays would clash with mesh-sharded state)
+        import numpy as np
+
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
+        )
         payload = ckptr.restore(path, item=target, restore_args=restore_args)
         self.state = self.state.replace(**payload)
 
