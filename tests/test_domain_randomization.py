@@ -2,6 +2,7 @@
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from omniisaacgymenvs_tpu.envs import VecEnv
@@ -140,6 +141,7 @@ def test_reference_shadowhand_dr_block_parses_and_maps():
     )
 
 
+@pytest.mark.slow  # ~60 s: compiles a rollout per DR property
 def test_every_overlay_key_alters_dynamics():
     """Each engine overlay key must verifiably change the simulation
     (VERDICT round-1 item 4) — checked on a small tendon-coupled model
