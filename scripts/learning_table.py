@@ -1,0 +1,53 @@
+"""Render LEARNING.json as the README markdown learning table.
+
+Usage: python scripts/learning_table.py [LEARNING.json]
+Prints a markdown table (task | envs | epochs | final/best reward |
+sentinels) built from the machine-readable record, so the README table
+and LEARNING.json can never drift apart.
+"""
+
+import json
+import os
+import sys
+
+import yaml
+
+CFG = os.path.join(
+    os.path.dirname(__file__), "..", "omniisaacgymenvs_tpu", "cfg"
+)
+
+
+def num_envs(task: str) -> str:
+    p = os.path.join(CFG, "task", f"{task}.yaml")
+    try:
+        with open(p) as f:
+            return str(yaml.safe_load(f)["env"]["numEnvs"])
+    except Exception:
+        return "?"
+
+
+def main():
+    path = sys.argv[1] if len(sys.argv) > 1 else "LEARNING.json"
+    with open(path) as f:
+        rows = json.load(f)
+    print("| Task | envs | epochs | final reward | best | ep_len | "
+          "sentinel | train steps/s |")
+    print("|---|---|---|---|---|---|---|---|")
+    for task, r in rows.items():
+        sent = ""
+        if "consecutive_successes" in r:
+            sent = (f"consec. successes {r['consecutive_successes']} "
+                    f"(best {r['best_consecutive_successes']})")
+        elif "terrain_level" in r:
+            sent = (f"terrain level {r['terrain_level']} "
+                    f"(best {r['best_terrain_level']})")
+        print(
+            f"| {task} | {num_envs(task)} | {r['epochs']} "
+            f"| {r['final_ep_reward']} | {r['best_ep_reward']} "
+            f"| {r['final_ep_length']} | {sent} "
+            f"| {r['steps_per_sec']:,.0f} |"
+        )
+
+
+if __name__ == "__main__":
+    main()
