@@ -40,19 +40,31 @@ def render(npz_path: str, out_path: str, fps: int = 25, stride: int = 2,
     rews = data["rewards"][::stride]
     T, nb, _ = pos.shape
 
-    fig = plt.figure(figsize=(6, 6))
+    fig = plt.figure(figsize=(4.5, 4.5))
     ax = fig.add_subplot(projection="3d")
     ax.view_init(elev=elev, azim=azim)
-
-    # fixed axis cube around the whole trajectory so the camera is static
-    lo = pos.reshape(-1, 3).min(0)
-    hi = pos.reshape(-1, 3).max(0)
-    c = (lo + hi) / 2
-    r = float((hi - lo).max()) / 2 + 0.2
-    ax.set_xlim(c[0] - r, c[0] + r)
-    ax.set_ylim(c[1] - r, c[1] + r)
-    ax.set_zlim(max(0.0, c[2] - r), c[2] + r)
     ax.set_box_aspect((1, 1, 1))
+
+    # follow camera (reference demo's camera tracks the selected robot):
+    # a fixed-size cube sized to the BODY extent, re-centered each frame on
+    # the smoothed base position — a locomoting robot stays in frame
+    # instead of shrinking to a dot inside its whole-trajectory bounds
+    ext = pos - pos[:, :1]                      # body extent about base
+    r = max(0.5, float(np.abs(ext).max()) * 1.6)
+    center = pos[:, 0].copy()                   # base trace
+    for t in range(1, T):                       # smoothed, lag-clamped
+        c = 0.7 * center[t - 1] + 0.3 * pos[t, 0]
+        lag = pos[t, 0] - c
+        d = float(np.linalg.norm(lag))
+        if d > 0.3 * r:                         # never let the body near
+            c = pos[t, 0] - lag * (0.3 * r / d)  # the frame edge
+        center[t] = c
+
+    def set_cam(t):
+        c = center[t]
+        ax.set_xlim(c[0] - r, c[0] + r)
+        ax.set_ylim(c[1] - r, c[1] + r)
+        ax.set_zlim(max(0.0, c[2] - r), c[2] + r)
 
     segs = [(int(parents[i]), i) for i in range(nb) if parents[i] >= 0]
     lines = [ax.plot([], [], [], "-", lw=2, color="tab:blue")[0]
@@ -62,6 +74,7 @@ def render(npz_path: str, out_path: str, fps: int = 25, stride: int = 2,
 
     def frame(t):
         p = pos[t]
+        set_cam(t)
         for ln, (a, b) in zip(lines, segs):
             ln.set_data([p[a, 0], p[b, 0]], [p[a, 1], p[b, 1]])
             ln.set_3d_properties([p[a, 2], p[b, 2]])
