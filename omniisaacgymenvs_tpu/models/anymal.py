@@ -71,7 +71,11 @@ def build_anymal(spawn_height: float = 0.62, drive: dict | None = None):
         )
 
     for name, sx, sy in _LEGS:
-        foot = np.array([0.0, 0.0, -0.32])
+        # shank length chosen so the feet TOUCH the ground at the spawn
+        # pose (base 0.62 m, defaultJointAngles): with 0.32 the feet hung
+        # 6 cm in the air, the robot free-fell at every reset and crossed
+        # the 0.51 m fall termination before soft contacts could catch it
+        foot = np.array([0.0, 0.0, -0.386])
         g = BodyGeoms(1100.0).capsule((0, 0, 0), foot, 0.03)
         g.sphere(foot, 0.035)
         m, com, I = g.finalize()

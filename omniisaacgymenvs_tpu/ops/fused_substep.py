@@ -252,7 +252,8 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     # the rotational lever coupling (physics/contacts.py _eff_mass); ground
     # point -> its own effective mass, pair -> the lighter of point/surface
     from omniisaacgymenvs_tpu.physics.contacts import (
-        point_effective_masses, surface_effective_mass,
+        ground_point_gains, point_body_masses, point_effective_masses,
+        surface_effective_mass,
     )
 
     per_mass = bool(getattr(contact, "per_mass", False))
@@ -261,17 +262,24 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             float(contact.kn_pm), float(contact.kt_pm), float(contact.fnm_pm)
         )
         meff_pt = point_effective_masses(model)
+        mbody_pt = point_body_masses(model)
+        # ground gains with the static-load floor + body-level mdv cap
+        # (physics/contacts.py ground_point_gains — single source of truth
+        # with the reference plane_contacts path)
+        gkn, gkt, gfnm = ground_point_gains(model, contact)
 
     def point_gains(k):
         if per_mass:
-            m_ = float(meff_pt[k])
-            return kn_pm * m_, kt_pm * m_, fnm_pm * m_
+            return float(gkn[k]), float(gkt[k]), float(gfnm[k])
         return kn, kt, fn_max
 
     def pair_gains(pi, si):
         if per_mass:
             m_ = float(min(meff_pt[pi], surface_effective_mass(model, si)))
-            return kn_pm * m_, kt_pm * m_, fnm_pm * m_
+            mb = float(
+                min(mbody_pt[pi], mass_np[int(surf_body[si])])
+            )
+            return kn_pm * m_, kt_pm * m_, fnm_pm * mb
         return kn, kt, fn_max
     d_impl = h * (kd + damping + h * kp)
     ncp = cp_body.shape[0]

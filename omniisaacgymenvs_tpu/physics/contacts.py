@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from omniisaacgymenvs_tpu.physics.model import Model, SurfaceType
+from omniisaacgymenvs_tpu.physics.model import JointType, Model, SurfaceType
 
 
 @flax.struct.dataclass
@@ -93,7 +93,9 @@ def auto_contact_params(model: Model, dt_sub: float, mu: float = 1.0,
     fnm_pm = max_depenetration_velocity / dt_sub
     return ContactParams(
         kn=kn_pm * m_min, kd=chi, kt=kt_pm * m_min, mu=mu,
-        fn_max=fnm_pm * m_min,
+        # scalar fallback cap: lightest FULL body mass (mdv caps body-level
+        # velocity — point_body_masses); per-mass paths compute per row
+        fn_max=fnm_pm * float(point_body_masses(model).min()),
         per_mass=True, kn_pm=kn_pm, kt_pm=kt_pm, fnm_pm=fnm_pm,
     )
 
@@ -107,6 +109,87 @@ def _eff_mass(m, I_min, r2):
     return 1.0 / (
         1.0 / np.maximum(m, 1e-9) + r2 / np.maximum(I_min, 1e-12)
     )
+
+
+def point_body_masses(model: Model) -> np.ndarray:
+    """(ncp,) FULL mass of each ground contact point's body (numpy).
+
+    Used for the max_depenetration_velocity force cap: PhysX's cap limits
+    the translational velocity a contact can impart to the BODY
+    (F*dt/m_body <= mdv), so the cap must scale with the full body mass.
+    Scaling it with the lever-discounted point effective mass (as the
+    stiffness gains correctly do) capped an Anymal foot at ~60 N — below
+    the ~125 N static load per foot — and the robot sank through the
+    floor in free fall."""
+    cb = np.asarray(model.cp_body)
+    if cb.shape[0] == 0:
+        return np.zeros(0)
+    return np.asarray(model.body_mass)[cb]
+
+
+# static-load gain floor (ground_point_gains): target penetration at
+# static tree weight, and the gravity it is defined against
+_LOAD_DELTA = 0.005   # [m]
+_LOAD_G = 9.81        # [m/s^2]
+
+
+def point_share_masses(model: Model) -> np.ndarray:
+    """(ncp,) per-point SHARE of its kinematic tree's total mass:
+    m_share = 2 * M_tree / n_points_tree for trees with a FREE root
+    (assume half the points bear the weight), 0 for fixed-base trees
+    (Franka, mounted hands — they hang from the world, not the ground).
+
+    Why: per-effective-mass stability gains are right for light free
+    bodies (a cube corner) but orders of magnitude below what statics
+    demands for a heavy drive-held articulation: an Anymal foot's
+    lever-discounted m_eff (~0.08 kg) gave kn ~ 770 N/m — a 16 cm
+    equilibrium penetration under the 125 N static foot load, i.e. the
+    robot sank through the floor (free-fall until the 0.51 m fall
+    termination). The free-body m_eff analysis is over-conservative
+    there anyway: the foot's rotation is held by the knee DRIVE
+    (Kp ~ 400 Nm/rad), so the articulated effective mass is far larger
+    (round 1 ran Anymal feet at omega*dt ~ 2.5 by the free-body metric,
+    stably, for 800 epochs). Ground-contact gains are floored with this
+    share mass (ground_point_gains); light objects get a negligible
+    floor, so the hand-manipulation regime tuned at omega_dt=0.5 is
+    untouched."""
+    cb = np.asarray(model.cp_body)
+    if cb.shape[0] == 0:
+        return np.zeros(0)
+    parents = np.asarray(model.parents)
+    nb = parents.shape[0]
+    tree = np.arange(nb)
+    for i in range(nb):
+        if parents[i] >= 0:
+            tree[i] = tree[parents[i]]
+    masses = np.asarray(model.body_mass)
+    jtype = np.asarray(model.jtype)
+    share = np.zeros(cb.shape[0])
+    for r in model.roots:
+        if JointType(jtype[r]) != JointType.FREE:
+            continue
+        in_tree = tree == r
+        pts = np.flatnonzero(in_tree[cb])
+        if pts.size == 0:
+            continue
+        share[pts] = 2.0 * float(masses[in_tree].sum()) / pts.size
+    return share
+
+
+def ground_point_gains(model: Model, params: "ContactParams"):
+    """Build-time (numpy) per-point (kn, kt, fn_max) for GROUND contacts
+    under per-mass params:
+      kn  = max(kn_pm * m_eff,  m_share * g / delta)   stability vs statics
+      kt  = kt_pm * max(m_eff, m_share)                stiction holds weight
+      fnm = fnm_pm * max(m_body, m_share)              mdv cap, body-level
+    """
+    meff = point_effective_masses(model)
+    mb = point_body_masses(model)
+    msh = point_share_masses(model)
+    kn = np.maximum(params.kn_pm * meff, msh * (_LOAD_G / _LOAD_DELTA))
+    kt = params.kt_pm * np.maximum(meff, msh)
+    fnm = params.fnm_pm * np.maximum(mb, msh)
+    return kn, kt, fnm
 
 
 def point_effective_masses(model: Model) -> np.ndarray:
@@ -194,10 +277,11 @@ def plane_contacts(
     vt = v_pt - vn[..., None] * n
 
     if params.per_mass:
-        m_pt = jnp.asarray(point_effective_masses(model), jnp.float32)
-        kn, kt, fnm = (
-            params.kn_pm * m_pt, params.kt_pm * m_pt, params.fnm_pm * m_pt
-        )
+        # per-point gains with the static-load floor (ground_point_gains)
+        kn_np, kt_np, fnm_np = ground_point_gains(model, params)
+        kn = jnp.asarray(kn_np, jnp.float32)
+        kt = jnp.asarray(kt_np, jnp.float32)
+        fnm = jnp.asarray(fnm_np, jnp.float32)
     else:
         kn, kt, fnm = params.kn, params.kt, params.fn_max
     # Hunt-Crossley: damping scaled by penetration (no touch spike)
@@ -253,6 +337,7 @@ def build_pair_groups(model: Model) -> PairGroups:
             return dict(
                 pt=np.zeros(0, np.int32), sbody=np.zeros(0, np.int32),
                 params=np.zeros((0, nparams)), mmin=np.zeros(0),
+                mbody=np.zeros(0),
             )
         pt = np.array([p for p, _ in pairs], np.int32)
         sbody = np.array([model.surf_body[s] for _, s in pairs], np.int32)
@@ -263,7 +348,12 @@ def build_pair_groups(model: Model) -> PairGroups:
             meff_pt[pt],
             np.array([surface_effective_mass(model, s) for _, s in pairs]),
         )
-        return dict(pt=pt, sbody=sbody, params=params, mmin=mmin)
+        # full mass of the lighter body (mdv force cap, PhysX body-level
+        # velocity semantics — see point_body_masses)
+        bm = np.asarray(model.body_mass)
+        mbody = np.minimum(bm[np.asarray(model.cp_body)[pt]], bm[sbody])
+        return dict(pt=pt, sbody=sbody, params=params, mmin=mmin,
+                    mbody=mbody)
 
     return PairGroups(
         sphere=pack(groups[SurfaceType.SPHERE], 4),
@@ -272,14 +362,15 @@ def build_pair_groups(model: Model) -> PairGroups:
     )
 
 
-def _contact_force(pen, n, vrel, mu, params: ContactParams, mmin=None):
+def _contact_force(pen, n, vrel, mu, params: ContactParams, mmin=None,
+                   mbody=None):
     """Compliant normal (Hunt-Crossley damped) + stiction-capped friction.
     Returns world-frame force on the POINT body. mmin: per-row effective
-    contact mass for per-mass gains (auto_contact_params)."""
+    contact mass for per-mass gains (auto_contact_params); mbody: per-row
+    full mass of the lighter body (mdv force cap)."""
     if params.per_mass and mmin is not None:
-        kn, kt, fnm = (
-            params.kn_pm * mmin, params.kt_pm * mmin, params.fnm_pm * mmin
-        )
+        kn, kt = params.kn_pm * mmin, params.kt_pm * mmin
+        fnm = params.fnm_pm * (mbody if mbody is not None else mmin)
     else:
         kn, kt, fnm = params.kn, params.kt, params.fn_max
     active = pen > 0.0
@@ -371,7 +462,8 @@ def pair_contacts(
         pen = prm[:, 3] * ss + point_radius(pi, pb) - dist
         vrel = vel_at(pb, pt_w) - vel_at(sb, pt_w)
         f = _contact_force(pen, n, vrel, pair_mu(pi, pb), params,
-                           jnp.asarray(g["mmin"], jnp.float32))
+                           jnp.asarray(g["mmin"], jnp.float32),
+                           jnp.asarray(g["mbody"], jnp.float32))
         f_ext = accumulate(f_ext, pb, sb, pt_w, f)
 
     # ---- capsule surfaces ----
@@ -400,7 +492,8 @@ def pair_contacts(
         pen = prm[:, 6] * ss + point_radius(pi, pb) - dist
         vrel = vel_at(pb, pt_w) - vel_at(sb, c_w)
         f = _contact_force(pen, n, vrel, pair_mu(pi, pb), params,
-                           jnp.asarray(g["mmin"], jnp.float32))
+                           jnp.asarray(g["mmin"], jnp.float32),
+                           jnp.asarray(g["mbody"], jnp.float32))
         f_ext = accumulate(f_ext, pb, sb, pt_w, f)
 
     # ---- box surfaces ----
@@ -439,7 +532,8 @@ def pair_contacts(
         n = jnp.einsum("cij,cj->ci", R_box, n_l)
         vrel = vel_at(pb, pt_w) - vel_at(sb, pt_w)
         f = _contact_force(pen, n, vrel, pair_mu(pi, pb), params,
-                           jnp.asarray(g["mmin"], jnp.float32))
+                           jnp.asarray(g["mmin"], jnp.float32),
+                           jnp.asarray(g["mbody"], jnp.float32))
         f_ext = accumulate(f_ext, pb, sb, pt_w, f)
 
     return f_ext

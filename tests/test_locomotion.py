@@ -72,3 +72,25 @@ def test_humanoid_falls_and_terminates():
     es = env.step(es, jnp.zeros((4, 21)))
     assert np.all(np.asarray(es.obs[:, 0])[was_done] > 0.8)
     assert np.all(np.asarray(es.progress)[was_done] == 1)
+
+
+def test_anymal_zero_action_stands():
+    """Zero-action Anymal must STAND: drives hold defaultJointAngles and
+    ground contacts carry the ~370 N weight (static-load stiffness floor,
+    physics/contacts.py point_share_masses). Regression: per-effective-mass
+    gains alone capped foot contacts at ~60 N and the robot free-fell
+    through the 0.51 m fall termination ~8 steps after every reset."""
+    from omniisaacgymenvs_tpu.utils.config import load_config
+
+    cfg = load_config({"task": "Anymal"})
+    env = VecEnv(get_task("Anymal", cfg["task"]), 4)
+    es = env.reset(seed=0)
+    for _ in range(80):
+        es = env.step(es, jnp.zeros((4, env.num_actions)))
+        assert not np.any(np.asarray(es.done))
+    h = np.asarray(es.phys.q[:, 2])
+    assert np.all(h > 0.55), h
+    # feet carry the weight
+    fz = np.asarray(es.phys.sensor_forces[:, :, 2]).sum(axis=1)
+    w = 9.81 * 37.0
+    assert np.all(np.abs(fz - w) < 0.25 * w), fz
