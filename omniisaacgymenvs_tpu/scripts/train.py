@@ -95,8 +95,19 @@ def main(argv=None):
     experiment = cfg.get("experiment") or cfg["task_name"]
     run_dir = os.path.join("runs", experiment)
     if cfg.get("test"):
-        mean_ret, n = evaluate(trainer)
-        print(f"eval: mean episode reward {mean_ret:.2f} over {n} episodes")
+        # default horizon = one full episode of this task (+1 reset step)
+        # so long-episode tasks (Anymal: 3000 steps) don't report only the
+        # few episodes that ended early by falling; max_iterations
+        # overrides (reference `test=True` runs until interrupted)
+        steps = int(
+            cfg.get("max_iterations")
+            or getattr(task, "max_episode_length", 1000) + 1
+        )
+        mean_ret, n = evaluate(trainer, steps=steps)
+        print(
+            f"eval: mean episode reward {mean_ret:.2f} over {n} episodes "
+            f"({steps} steps)"
+        )
         return
 
     os.makedirs(os.path.join(run_dir, "nn"), exist_ok=True)
