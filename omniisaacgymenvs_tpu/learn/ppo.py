@@ -906,9 +906,10 @@ class PPOTrainer:
                     if not (e % log_every == 0 or last):
                         history.append(m)  # record the stopping epoch
             boundary = (epoch + k) // save_frequency > epoch // save_frequency
-            if boundary and history_path:
-                # incremental dump: a campaign run capped by `timeout` still
-                # leaves its learning curve behind for LEARNING.json
+            if history_path:
+                # incremental dump EVERY chunk (cheap json of appended rows):
+                # a campaign run killed by `timeout`/watchdog mid-interval
+                # still leaves its learning curve behind for LEARNING.json
                 with open(history_path, "w") as f:
                     json.dump(history, f)
             if save_dir:

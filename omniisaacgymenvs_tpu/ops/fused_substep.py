@@ -425,9 +425,11 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         scale_t = ft_mag / (vt_norm + 1e-6)
         return [fn * n[k] - scale_t * vt[k] for k in range(3)]
 
-    def substep_math(ins):
+    def substep_math(ins, debug=False):
         """The full substep on a list of n_in scalar-field arrays; returns
-        the n_out output fields. Pure — testable without Pallas."""
+        the n_out output fields. Pure — testable without Pallas.
+        debug=True instead returns a dict of intermediates (contact
+        wrenches, drive torques, qdd) for numerical bisection."""
         q = [ins[i] for i in range(nq)]
         qd = [ins[nq + i] for i in range(nv)]
         eff = [ins[nq + nv + i] for i in range(njd)]
@@ -557,8 +559,17 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                     jnp.clip(p_l[k], -half[k], half[k]) for k in range(3)
                 ]
                 d_out = _vsub(p_l, clamped)
-                dist_out = jnp.sqrt(_dot(d_out, d_out) + 1e-18)
-                outside = dist_out > 1e-9
+                d2_out = _dot(d_out, d_out)
+                dist_out = jnp.sqrt(d2_out + 1e-18)
+                # classify on the SQUARED distance: for interior points
+                # d_out is exactly 0, so dist_out = sqrt(1e-18) which lands
+                # ON the 1e-9 threshold — TPU's approximate sqrt rounds it
+                # just ABOVE (1.00000008e-9), flipping every resting
+                # interior point to "outside" (pen = rad - 1e-9 -> zero
+                # force for rad=0 box corners: the round-2 cube-through-
+                # palm fall-through). d2 > 1e-14 is 1e5 x away from any
+                # rounding of the +1e-18 floor on all platforms.
+                outside = d2_out > 1e-14
                 n_out = [d_out[k] / (dist_out + 1e-9) for k in range(3)]
                 face_d = [half[k] - jnp.abs(p_l[k]) for k in range(3)]
                 min_d = jnp.minimum(face_d[0], jnp.minimum(face_d[1], face_d[2]))
@@ -791,6 +802,12 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             qdd_i = (uu[i] - sum(U[i][k] * a_p[k] for k in range(6))) / D[i]
             qdd[int(jv_np[jd])] = qdd_i
             a[i] = [a_p[k] + S6[k] * qdd_i for k in range(6)]
+
+        if debug:
+            return {
+                "fx": fx, "tx": tx, "fx_tot": fx_tot, "tx_tot": tx_tot,
+                "tau": tau, "qdd": qdd, "pw": pw,
+            }
 
         # ---------------- integrate ----------------
         qd_new = [qd[k] + h * qdd[k] for k in range(nv)]
@@ -1035,6 +1052,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         return q_new, qd_new, sf, pos, quat, avel, lvel
 
     batched.substep_math = substep_math
+    batched.fk_math = fk_outputs  # plain-XLA FK on scalar fields (debug/tests)
     batched.fk = batched_fk
     batched.step = batched_step
     batched.n_in = n_in

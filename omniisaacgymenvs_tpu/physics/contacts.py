@@ -158,6 +158,12 @@ def point_share_masses(model: Model) -> np.ndarray:
         return np.zeros(0)
     parents = np.asarray(model.parents)
     nb = parents.shape[0]
+    # single forward pass resolves each body's kinematic-tree root ONLY if
+    # parents are topologically ordered (parent index < child); the model
+    # builder guarantees this — enforce it so a violation can never silently
+    # mis-assign the static-load floor
+    assert all(int(p) < i for i, p in enumerate(parents) if p >= 0), \
+        "ModelBuilder must emit bodies in topological order"
     tree = np.arange(nb)
     for i in range(nb):
         if parents[i] >= 0:

@@ -112,17 +112,14 @@ class PhysicsEngine:
 
         if not on_tpu or not _fs.eligible(self.model, self):
             return
-        # KNOWN ISSUE (r2): on real TPU hardware the fused kernel's
-        # cross-tree pair-contact path misbehaves — ShadowHand's cube falls
-        # through the palm (every env resets ~every 20 steps; the unfused
-        # path on the same chip matches CPU exactly at 8/32), and
-        # BallBalance's first kernel exec hangs the device. CPU interpret-
-        # mode consistency tests pass, so this is a TPU lowering/precision
-        # issue in the pallas pair path. Until fixed, pair-contact scenes
-        # default to the (correct, still-fast) unfused XLA path;
-        # OIGE_TPU_FUSED=1 force-enables for debugging.
-        if flag != "1" and int(self.model.pair_point.shape[0]) > 0:
-            return
+        # r2's pair-contact gate is gone: the cube-through-palm divergence
+        # was a box inside/outside misclassification on TPU — sqrt(1e-18)
+        # rounds to just above 1e-9 under TPU's approximate sqrt, flipping
+        # every resting interior point to "outside" (zero force). Fixed by
+        # classifying on the squared distance (ops/fused_substep.py box
+        # branch); the fused pair path now matches the f64 ground truth
+        # more closely than the XLA path on the same chip
+        # (scripts/debug_groundtruth.py).
         h = self.params.dt / self.params.substeps
         self._has_height = self.height_fn is not None
         fused = _fs.build_fused_substep(

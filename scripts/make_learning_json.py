@@ -7,6 +7,10 @@ length, steps/s, and task sentinels (consecutive successes for the hands,
 terrain level for AnymalTerrain).
 
 Usage: python scripts/make_learning_json.py [runs_dir ...] > LEARNING.json
+(default search: results/ then runs/ — results/ is the curated campaign
+record, runs/ holds in-progress runs; a task found in both keeps the
+version with the LARGER epoch count so partial re-runs never shadow a
+completed campaign)
 """
 
 import json
@@ -45,7 +49,7 @@ def summarize(task: str, hist: list) -> dict:
 
 
 def main():
-    run_dirs = sys.argv[1:] or ["runs"]
+    run_dirs = sys.argv[1:] or ["results", "runs"]
     rows = {}
     for rd in run_dirs:
         if not os.path.isdir(rd):
@@ -56,8 +60,12 @@ def main():
                 continue
             with open(hp) as f:
                 hist = json.load(f)
-            if hist:
-                rows[task] = summarize(task, hist)
+            if not hist:
+                continue
+            row = summarize(task, hist)
+            # keep the longer (more-trained) record when both dirs have one
+            if task not in rows or row["epochs"] > rows[task]["epochs"]:
+                rows[task] = row
     print(json.dumps(dict(sorted(rows.items())), indent=2))
 
 

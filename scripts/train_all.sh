@@ -21,7 +21,11 @@ fi
 # the wrapper below kills a run with no log growth for WATCHDOG_S seconds.
 run_one() {
   local t="$1" log="runs/logs/$1.log"
-  timeout "${TASK_TIMEOUT:-5400}" python -u -m omniisaacgymenvs_tpu.scripts.train \
+  # setsid: run in its own process group so the watchdog can kill the WHOLE
+  # group (timeout wrapper + python trainer). SIGKILLing only the wrapper
+  # would orphan a trainer stuck in an uninterruptible device call — the
+  # exact scenario the watchdog exists for — leaving it holding the TPU.
+  setsid timeout "${TASK_TIMEOUT:-5400}" python -u -m omniisaacgymenvs_tpu.scripts.train \
     task="$t" experiment="$t" > "$log" 2>&1 &
   local pid=$!
   local last_size=0 idle=0
@@ -32,8 +36,8 @@ run_one() {
     if [ "$size" -eq "$last_size" ]; then
       idle=$((idle + 30))
       if [ "$idle" -ge "${WATCHDOG_S:-600}" ]; then
-        echo "--- watchdog: $t silent ${idle}s, killing $pid" >> "$log"
-        kill "$pid" 2>/dev/null; sleep 5; kill -9 "$pid" 2>/dev/null
+        echo "--- watchdog: $t silent ${idle}s, killing group $pid" >> "$log"
+        kill -- -"$pid" 2>/dev/null; sleep 5; kill -9 -- -"$pid" 2>/dev/null
         wait "$pid" 2>/dev/null
         return 99
       fi

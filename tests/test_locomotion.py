@@ -90,7 +90,8 @@ def test_anymal_zero_action_stands():
         assert not np.any(np.asarray(es.done))
     h = np.asarray(es.phys.q[:, 2])
     assert np.all(h > 0.55), h
-    # feet carry the weight
+    # feet carry the weight (derived from the built model, not a literal —
+    # build_anymal masses come from geometry density and may be retuned)
     fz = np.asarray(es.phys.sensor_forces[:, :, 2]).sum(axis=1)
-    w = 9.81 * 37.0
+    w = 9.81 * float(np.asarray(env.task.model.body_mass).sum())
     assert np.all(np.abs(fz - w) < 0.25 * w), fz
