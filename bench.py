@@ -2,11 +2,11 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} — the
 headline metric stays random-policy simulation env-steps/s (comparable
-across rounds) — plus extra keys "train_steps_per_s" (full PPO epoch:
-rollout + GAE + minibatch SGD, the number a user training feels) and
-"learner_mfu" (actor/critic network FLOPs over device peak; physics FLOPs
-excluded, so this is the LEARNER'S MXU utilization — sim-RL is
-physics-dominated by design). BENCH_TRAIN=0 skips the training benchmark;
+across rounds) — plus extra keys "train_steps_per_s"/"train_steps_per_s_bf16"
+(full PPO epoch: rollout + GAE + minibatch SGD, f32 and mixed-precision
+learners) and "learner_mfu"/"learner_mfu_bf16" (actor/critic network FLOPs
+over device peak; physics FLOPs excluded, so this is the LEARNER'S MXU
+utilization — sim-RL is physics-dominated by design). BENCH_TRAIN=0 skips the training benchmark;
 BENCH_TRAIN_ENVS (default 8192) sets its batch;
 BENCH_PEAK_FLOPS (default 1.97e14, TPU v5e bf16 peak) sets the MFU
 denominator.
@@ -115,7 +115,9 @@ def _mlp_flops(sizes):
 def train_bench(task_name: str, devices, epochs: int = 8):
     """Full PPO train-epoch throughput on the task's shipped train yaml
     (rollout + GAE + minibatch SGD in one XLA program) and the learner-MFU
-    estimate from the actor/critic network FLOP count."""
+    estimate from the actor/critic network FLOP count. Measures BOTH the
+    f32 and mixed-precision (bf16 network compute, the reference train
+    yamls' `mixed_precision: True`) learners."""
     import time
 
     import jax
@@ -132,32 +134,33 @@ def train_bench(task_name: str, devices, epochs: int = 8):
     task = get_task(task_name, cfg["task"])
     env = VecEnv(task, n)
     kw = ppo_config_kwargs(cfg["train"])
-    ppo = PPOConfig(**kw)
-    trainer = PPOTrainer(env, ppo, seed=0)
-
-    trainer.state, m = trainer._epoch_jit(trainer.state)  # compile
-    jax.block_until_ready(m)
-    t0 = time.time()
-    for _ in range(epochs):
-        trainer.state, m = trainer._epoch_jit(trainer.state)
-    jax.block_until_ready(m)
-    dt = time.time() - t0
-    steps_per_epoch = ppo.horizon_length * n
-    train_sps = epochs * steps_per_epoch / dt
-
-    # learner FLOPs per env-step: 1 policy fwd (rollout) + mini_epochs x
-    # (fwd + 2x bwd) over the dataset (every transition revisited each
-    # mini-epoch) + the obs-norm re-eval fwd
-    sizes = [env.num_obs, *ppo.units, env.num_actions + 1]
-    fwd = _mlp_flops(sizes)
-    per_step = fwd * (2 + 3 * ppo.mini_epochs)
     peak = float(os.environ.get("BENCH_PEAK_FLOPS", "1.97e14"))
-    mfu = train_sps * per_step / (peak * max(len(devices), 1))
-    return {
-        "train_steps_per_s": round(train_sps, 1),
-        "train_envs": n,
-        "learner_mfu": round(mfu, 6),
-    }
+    out = {"train_envs": n}
+
+    for mixed in (False, True):
+        ppo = PPOConfig(**{**kw, "mixed_precision": mixed})
+        trainer = PPOTrainer(env, ppo, seed=0)
+        trainer.state, m = trainer._epoch_jit(trainer.state)  # compile
+        jax.block_until_ready(m)
+        t0 = time.time()
+        for _ in range(epochs):
+            trainer.state, m = trainer._epoch_jit(trainer.state)
+        jax.block_until_ready(m)
+        dt = time.time() - t0
+        train_sps = epochs * ppo.horizon_length * n / dt
+
+        # learner FLOPs per env-step: 1 policy fwd (rollout) + mini_epochs
+        # x (fwd + 2x bwd) over the dataset (every transition revisited
+        # each mini-epoch) + the obs-norm re-eval fwd
+        sizes = [env.num_obs, *ppo.units, env.num_actions + 1]
+        fwd = _mlp_flops(sizes)
+        per_step = fwd * (2 + 3 * ppo.mini_epochs)
+        mfu = train_sps * per_step / (peak * max(len(devices), 1))
+        tag = "_bf16" if mixed else ""
+        out["train_steps_per_s" + tag] = round(train_sps, 1)
+        out["learner_mfu" + tag] = round(mfu, 6)
+
+    return out
 
 
 if __name__ == "__main__":
