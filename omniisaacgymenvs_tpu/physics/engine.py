@@ -292,6 +292,10 @@ class PhysicsEngine:
 
     def _report_xla(self, q, qd, sensor_forces) -> State:
         """Fresh FK to fill the derived world-frame fields."""
+        with jax.default_matmul_precision("float32"):
+            return self._report_xla_inner(q, qd, sensor_forces)
+
+    def _report_xla_inner(self, q, qd, sensor_forces) -> State:
         kin = dynamics.kinematics(self.model, q, qd)
         avel, lvel = dynamics.world_velocities(self.model, kin)
         return State(
@@ -345,6 +349,15 @@ class PhysicsEngine:
         friction_scale (), gravity_delta (3,)) — traced parameter
         perturbation replacing the reference's replicator-graph DR
         (utils/domain_randomization.py)."""
+        # full-f32 matmul precision: XLA's DEFAULT runs the FK/contact
+        # einsums as single-pass bf16 on the TPU MXU, which costs ~3
+        # decimal digits on positions that contact penetrations (sub-mm)
+        # are computed from — measured 100x worse dqd error vs the f64
+        # ground truth than with f32 precision (scripts/debug_groundtruth)
+        with jax.default_matmul_precision("float32"):
+            return self._substep_inner(q, qd, control, f_applied, h, overlay)
+
+    def _substep_inner(self, q, qd, control, f_applied, h, overlay=None):
         m = self.model
         ov = overlay or {}
         cparams = self.contact_params

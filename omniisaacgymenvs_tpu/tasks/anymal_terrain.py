@@ -124,14 +124,27 @@ class AnymalTerrainTask(RLTask):
         self._hf_min = hf_min.ravel()
         self._hf_cols = self._hf.shape[1] - 1
         # packed (h(x,y), h(x+hs,y), h(x,y+hs)) so the contact-normal lookup
-        # (_height_fn) is ONE 3-wide gather instead of three
+        # (_height_fn) is ONE 3-wide gather instead of three.
+        # CONTACT uses the RAW cell height with a SLOPE-LIMITED gradient:
+        # the reference collides against a trimesh whose near-vertical
+        # faces are slope-corrected to true walls
+        # (terrain_utils.py convert_heightfield_to_trimesh slope_threshold),
+        # so stair treads are flat planes. Building the contact gradient
+        # from min-table differences instead turned every 19 cm riser into
+        # a 62-degree pseudo-ramp one cell wide that feet cannot grip
+        # (mu=1 holds 45 degrees) — the round-2 curriculum plateau at
+        # terrain_level ~4. Where the cell-to-cell slope exceeds
+        # slopeTreshold-like 0.75, the tread is treated as flat at the
+        # sampled height; gentle real slopes (<=37 degrees) keep their
+        # gradient.
+        hf_raw = self._hf[:-1, :-1]
+        dxs = jnp.concatenate([hf_raw[1:], hf_raw[-1:]], axis=0) - hf_raw
+        dys = jnp.concatenate([hf_raw[:, 1:], hf_raw[:, -1:]], axis=1) - hf_raw
+        slope_lim = 0.75 * self.terrain.horizontal_scale
+        dxs = jnp.where(jnp.abs(dxs) > slope_lim, 0.0, dxs)
+        dys = jnp.where(jnp.abs(dys) > slope_lim, 0.0, dys)
         self._hf_grad = jnp.stack(
-            [
-                hf_min,
-                jnp.concatenate([hf_min[1:], hf_min[-1:]], axis=0),
-                jnp.concatenate([hf_min[:, 1:], hf_min[:, -1:]], axis=1),
-            ],
-            axis=-1,
+            [hf_raw, hf_raw + dxs, hf_raw + dys], axis=-1,
         ).reshape(-1, 3)
         self._hs = self.terrain.horizontal_scale
         self._border = self.terrain.border_size
