@@ -68,3 +68,33 @@ def test_anymal_terrain_termination_and_reset():
     es = env.step(es, jnp.zeros((2, 12)))
     h = task._sample_height(es.phys.q[:, 0], es.phys.q[:, 1])
     assert np.all(np.asarray(es.phys.q[:, 2] - h) > 0.4)
+
+
+def test_contact_planes_slope_limited():
+    """Contact planes use raw cell heights with slope-limited gradients:
+    stair risers must read as FLAT treads (gradient zeroed where the
+    cell-to-cell jump exceeds 0.75*horizontal_scale — the reference's
+    slope-corrected trimesh walls), while gentle slopes keep their
+    gradient. Round-2 curriculum plateau regression."""
+    task = get_task("AnymalTerrain", {
+        "env": {"terrain": {"numLevels": 3, "numTerrains": 4,
+                            "mapLength": 4.0, "mapWidth": 4.0,
+                            "borderSize": 4.0}}})
+    hf = np.asarray(task._hf)[:-1, :-1]
+    grad = np.asarray(task._hf_grad).reshape(hf.shape[0], hf.shape[1], 3)
+    hs = task._hs
+    lim = 0.75 * hs
+    # raw forward differences
+    dx = np.concatenate([hf[1:], hf[-1:]], axis=0) - hf
+    dy = np.concatenate([hf[:, 1:], hf[:, -1:]], axis=1) - hf
+    # a stairs grid must actually contain super-threshold jumps
+    steep = np.abs(dx) > lim
+    assert steep.any(), "test terrain has no risers - broaden the config"
+    # risers flattened, gentle slopes preserved, heights raw
+    np.testing.assert_allclose(grad[..., 0], hf, atol=1e-6)
+    np.testing.assert_allclose(
+        grad[..., 1] - grad[..., 0], np.where(np.abs(dx) > lim, 0.0, dx),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        grad[..., 2] - grad[..., 0], np.where(np.abs(dy) > lim, 0.0, dy),
+        atol=1e-6)
