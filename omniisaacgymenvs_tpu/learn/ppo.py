@@ -652,6 +652,33 @@ class PPOTrainer:
             }
             for k in ("hidden_h", "hidden_c"):
                 dataset[k] = hid_start(traj[k])
+            if cfg.normalize_input:
+                # re-evaluate the behavior policy EXACTLY as _loss will
+                # replay it (updated obs norm, sequences restarted from the
+                # stored initial hidden) so the PPO ratio starts at 1.
+                # Without this the RNN path had an irreducible KL floor:
+                # the norm shift plus the seq-restart hidden mismatch
+                # masqueraded as policy KL and pinned the adaptive LR at
+                # its minimum (observed on ShadowHandOpenAI_LSTM).
+                x0 = ts.obs_norm.normalize(dataset["obs"])
+
+                def cell0(hid, xt):
+                    mu, log_std, _v, hid = self.net.apply(
+                        ts.params["ac"], xt, hid
+                    )
+                    return hid, (mu, jnp.broadcast_to(log_std, mu.shape))
+
+                _, (mu0, log_std0) = jax.lax.scan(
+                    cell0, (dataset["hidden_h"], dataset["hidden_c"]),
+                    jnp.swapaxes(x0, 0, 1),
+                )
+                mu0 = jnp.swapaxes(mu0, 0, 1)
+                log_std0 = jnp.swapaxes(log_std0, 0, 1)
+                dataset["mu"] = mu0
+                dataset["log_std"] = log_std0
+                dataset["logp"] = gaussian_logprob(
+                    mu0, log_std0, dataset["action"]
+                )
             num_slices = N * nch
             mb_slices = max(cfg.minibatch_size // seq, 1)
             mb_slices = min(mb_slices, num_slices)
