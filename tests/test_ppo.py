@@ -306,3 +306,22 @@ def test_lstm_central_value_trains_finite():
         assert np.isfinite(h["mean_step_reward"])
         assert np.isfinite(h["kl"])
         assert np.isfinite(h["cv_loss"])
+
+
+def test_rnn_ratio_starts_at_one_under_norm_updates():
+    """With obs normalization on and lr ~ 0, the epoch KL must be exactly
+    ~0 for the RNN path: the behavior policy is re-evaluated under the
+    UPDATED obs norm from the stored sequence-initial hidden states, so
+    the PPO ratio starts at 1. Regression: the RNN path skipped the
+    re-evaluation, giving an irreducible KL floor that pinned the
+    adaptive LR at its minimum (round-3 ShadowHandOpenAI_LSTM)."""
+    env = _cartpole_with_states(16)
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=64, mini_epochs=2,
+        units=(16,), rnn="lstm", rnn_units=16, seq_len=4,
+        normalize_input=True, learning_rate=1e-15, lr_schedule="fixed",
+    )
+    tr = PPOTrainer(env, cfg, seed=0)
+    for _ in range(3):
+        tr.state, m = tr._epoch_jit(tr.state)
+        assert float(m["kl"]) < 1e-6, float(m["kl"])
