@@ -604,29 +604,11 @@ class PPOTrainer:
         advs, returns = self._gae(traj, last_value)
         traj = dict(traj, adv=advs, ret=returns)
 
-        # update running norms on this epoch's data
-        if cfg.normalize_input:
-            ts = ts.replace(obs_norm=ts.obs_norm.update(traj["obs"]))
-            if self.use_cv:
-                ts = ts.replace(
-                    states_norm=ts.states_norm.update(traj["states"])
-                )
+        # value norm updates BEFORE the SGD phase (it normalizes the value
+        # TARGETS, rl_games updates its value RMS on the fresh returns);
+        # the obs/states norms update AFTER it — see below
         if cfg.normalize_value:
             ts = ts.replace(value_norm=ts.value_norm.update(returns))
-
-        if cfg.normalize_input and not self.is_rnn:
-            # re-evaluate the behavior policy under the UPDATED obs norm so
-            # the PPO ratio starts exactly at 1 — otherwise the norm shift
-            # between rollout and SGD masquerades as policy KL and drives
-            # the adaptive LR schedule down
-            x = ts.obs_norm.normalize(traj["obs"])
-            mu0, log_std0, v0 = self.net.apply(ts.params["ac"], x)
-            logp0 = gaussian_logprob(mu0, log_std0, traj["action"])
-            traj = dict(
-                traj, mu=mu0,
-                log_std=jnp.broadcast_to(log_std0, mu0.shape),
-                logp=logp0,
-            )
 
         T = cfg.horizon_length
         N = self.env.num_envs
@@ -652,33 +634,6 @@ class PPOTrainer:
             }
             for k in ("hidden_h", "hidden_c"):
                 dataset[k] = hid_start(traj[k])
-            if cfg.normalize_input:
-                # re-evaluate the behavior policy EXACTLY as _loss will
-                # replay it (updated obs norm, sequences restarted from the
-                # stored initial hidden) so the PPO ratio starts at 1.
-                # Without this the RNN path had an irreducible KL floor:
-                # the norm shift plus the seq-restart hidden mismatch
-                # masqueraded as policy KL and pinned the adaptive LR at
-                # its minimum (observed on ShadowHandOpenAI_LSTM).
-                x0 = ts.obs_norm.normalize(dataset["obs"])
-
-                def cell0(hid, xt):
-                    mu, log_std, _v, hid = self.net.apply(
-                        ts.params["ac"], xt, hid
-                    )
-                    return hid, (mu, jnp.broadcast_to(log_std, mu.shape))
-
-                _, (mu0, log_std0) = jax.lax.scan(
-                    cell0, (dataset["hidden_h"], dataset["hidden_c"]),
-                    jnp.swapaxes(x0, 0, 1),
-                )
-                mu0 = jnp.swapaxes(mu0, 0, 1)
-                log_std0 = jnp.swapaxes(log_std0, 0, 1)
-                dataset["mu"] = mu0
-                dataset["log_std"] = log_std0
-                dataset["logp"] = gaussian_logprob(
-                    mu0, log_std0, dataset["action"]
-                )
             num_slices = N * nch
             mb_slices = max(cfg.minibatch_size // seq, 1)
             mb_slices = min(mb_slices, num_slices)
@@ -718,6 +673,23 @@ class PPOTrainer:
         )
         if self.use_cv:
             aux["cv_loss"] = cv_loss
+        # obs/states running norms update AFTER the SGD phase: the replay
+        # then normalizes with the SAME stats the rollout used, so the
+        # stored behavior logp is the true replay logp and the PPO ratio
+        # starts exactly at 1 (rl_games eval-mode RunningMeanStd
+        # semantics; the updated stats apply from the NEXT rollout).
+        # Updating before the SGD phase made the norm shift masquerade as
+        # policy KL — on the DR-noised ShadowHandOpenAI variants the shift
+        # never converged and pinned the adaptive LR at its floor; the
+        # earlier fix (re-evaluating the behavior policy under the updated
+        # norm) restored ratio=1 but biased the importance weights and
+        # destabilized the LSTM run.
+        if cfg.normalize_input:
+            ts = ts.replace(obs_norm=ts.obs_norm.update(traj["obs"]))
+            if self.use_cv:
+                ts = ts.replace(
+                    states_norm=ts.states_norm.update(traj["states"])
+                )
         ts = ts.replace(epoch=ts.epoch + 1)
         # fold this window's completed episodes into the ~100-episode
         # running means (incremental mean with the window capped at 100,
