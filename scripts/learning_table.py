@@ -18,10 +18,18 @@ CFG = os.path.join(
 
 
 def num_envs(task: str) -> str:
+    """numEnvs from the task yaml, following `defaults:` inheritance
+    (e.g. ShadowHandOpenAI_LSTM <- ShadowHandOpenAI_FF)."""
     p = os.path.join(CFG, "task", f"{task}.yaml")
     try:
         with open(p) as f:
-            return str(yaml.safe_load(f)["env"]["numEnvs"])
+            d = yaml.safe_load(f)
+        n = d.get("env", {}).get("numEnvs")
+        if n is None:
+            for base in d.get("defaults", []):
+                if isinstance(base, str) and base != "_self_":
+                    return num_envs(base)
+        return str(n) if n is not None else "?"
     except Exception:
         return "?"
 

@@ -17,6 +17,15 @@ import json
 import os
 import sys
 
+# only the official reference task names — ad-hoc experiment dirs
+# (smoke runs, debug runs) in runs/ are not part of the learning record
+TASKS = {
+    "Cartpole", "Ant", "Humanoid", "Anymal", "AnymalTerrain",
+    "BallBalance", "FrankaCabinet", "Ingenuity", "Quadcopter", "Crazyflie",
+    "AllegroHand", "ShadowHand", "ShadowHandOpenAI_FF",
+    "ShadowHandOpenAI_LSTM",
+}
+
 
 def summarize(task: str, hist: list) -> dict:
     last = hist[-1]
@@ -55,6 +64,8 @@ def main():
         if not os.path.isdir(rd):
             continue
         for task in sorted(os.listdir(rd)):
+            if task not in TASKS:
+                continue
             hp = os.path.join(rd, task, "history.json")
             if not os.path.exists(hp):
                 continue
