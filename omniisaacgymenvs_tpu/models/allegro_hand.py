@@ -15,12 +15,8 @@ from omniisaacgymenvs_tpu.physics.model import JointType, ModelBuilder
 OBJECT_SIZE = 0.065
 OBJECT_MASS = 0.07087
 PALM_POS = np.array([0.0, 0.0, 0.47])
-# spawn clears the palm (top z=0.485) for ANY random reset orientation:
-# cube half-diagonal 0.056, so bottom >= 0.504 — at the old 0.53 a
-# corner-down spawn penetrated the palm 1.1 cm and the pop-out impulse
-# threw the cube off the hand
-OBJECT_START = (0.0, 0.12, 0.53)
-GOAL_POS = (0.0, 0.12, 0.49)
+OBJECT_START = (0.0, 0.0, 0.53)
+GOAL_POS = (0.0, 0.0, 0.49)
 
 _FR = 0.012
 _SEGS = (0.054, 0.0384, 0.0437)
@@ -55,15 +51,17 @@ def build_allegro_hand():
             limit=(-0.47, 0.47), mass=0.02, inertia=(4e-6,) * 3,
             **_DRIVE, **gc,
         )
-    # default_q 1.3: thumb rests along the palm's -x edge. At 0.8 the
-    # thumb lay flat diagonally ACROSS the palm center — inside the cube's
-    # resting volume — so the spawn contact blasted the cube off the palm
-    # (-10 cm y within 30 steps) and reorientation could never start
-    # (round-3 AllegroHand forensics).
+    # default_q 0.8 rests the thumb diagonally across the palm: it acts as
+    # the -y retaining ridge the cube rests against (the round-3 full-budget
+    # run learns a stable hold this way). Round-3 also trialed thumb-aside
+    # (1.3) + cube-on-fingers spawns: statically stable and rich in rotation
+    # authority under scripted waves, but early-training finger curls fling
+    # the unretained cube instantly (ep_len ~4 for 3000 epochs), so it never
+    # learns to hold — reverted; see docs/release_notes.md open issue.
     bases["thumb"] = b.add_body(
         "thumb_abduct", parent=palm, joint_type=JointType.REVOLUTE,
         joint_axis=(0, 0, 1), joint_pos=(0.05, -0.02, -0.005),
-        limit=(0.263, 1.396), default_q=1.3,
+        limit=(0.263, 1.396), default_q=0.8,
         mass=0.03, inertia=(6e-6,) * 3, **_DRIVE, **gc,
     )
 
