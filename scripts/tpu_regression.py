@@ -13,8 +13,8 @@ Checks:
                   must stay near the XLA path's (fall-through = ~10x more).
   ballbalance   – 40-step product rollout completes (r2 hang regression).
 
-Usage: python scripts/tpu_regression.py            # all checks
-       OIGE_TPU_REGRESSION=1 python bench.py       # bench driver hook
+Usage: python scripts/tpu_regression.py                    # all checks
+       python scripts/tpu_regression.py sqrt_branch pair_rest  # subset
 """
 
 import json
