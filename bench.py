@@ -151,10 +151,11 @@ def train_bench(task_name: str, devices, epochs: int = 8):
 
         # learner FLOPs per env-step: 1 policy fwd (rollout) + mini_epochs
         # x (fwd + 2x bwd) over the dataset (every transition revisited
-        # each mini-epoch) + the obs-norm re-eval fwd
+        # each mini-epoch); the obs-norm update is moments-only (no extra
+        # forward pass since the post-SGD reordering)
         sizes = [env.num_obs, *ppo.units, env.num_actions + 1]
         fwd = _mlp_flops(sizes)
-        per_step = fwd * (2 + 3 * ppo.mini_epochs)
+        per_step = fwd * (1 + 3 * ppo.mini_epochs)
         mfu = train_sps * per_step / (peak * max(len(devices), 1))
         tag = "_bf16" if mixed else ""
         out["train_steps_per_s" + tag] = round(train_sps, 1)

@@ -676,8 +676,12 @@ class PPOTrainer:
         # obs/states running norms update AFTER the SGD phase: the replay
         # then normalizes with the SAME stats the rollout used, so the
         # stored behavior logp is the true replay logp and the PPO ratio
-        # starts exactly at 1 (rl_games eval-mode RunningMeanStd
-        # semantics; the updated stats apply from the NEXT rollout).
+        # starts exactly at 1. NOTE: this is a deliberate DEVIATION from
+        # rl_games (which runs the model in train mode during
+        # calc_gradients, so its obs RMS updates per-minibatch DURING SGD
+        # and each sample moves the stats mini_epochs times); here the RMS
+        # sees each sample once per epoch and the updated stats apply from
+        # the NEXT rollout.
         # Updating before the SGD phase made the norm shift masquerade as
         # policy KL — on the DR-noised ShadowHandOpenAI variants the shift
         # never converged and pinned the adaptive LR at its floor; the

@@ -5,6 +5,16 @@ Reference: robots/articulations/allegro_hand.py (Nucleus allegro USD,
 task uses the same InHandManipulationTask without tendons or force sensors,
 SURVEY.md §2.2). Authored palm-up with fingers along +y like the shadow
 hand; dof order breadth-first [abductions x4, then flex levels].
+
+Scene pose: the reference spawns the hand tilted (tasks/allegro_hand.py:79
+hand_start_orientation = (0.2576, 0.2830, 0.6833, -0.6218): palm normal
+~45 deg off vertical toward the thumb side) so gravity presses the cube
+into the pocket between the tilted palm, the flexed thumb on the downhill
+side, and the finger shelf — the cube is retained by gravity, not by a
+pinned thumb. `build_allegro_hand` exposes the authoring knobs (tilt,
+thumb rest pose, finger curl, spawn offset) so the scene lab
+(tools/allegro_scene_lab.py) can sweep them; the defaults are the
+lab-selected cradle scene.
 """
 
 import numpy as np
@@ -15,8 +25,6 @@ from omniisaacgymenvs_tpu.physics.model import JointType, ModelBuilder
 OBJECT_SIZE = 0.065
 OBJECT_MASS = 0.07087
 PALM_POS = np.array([0.0, 0.0, 0.47])
-OBJECT_START = (0.0, 0.0, 0.53)
-GOAL_POS = (0.0, 0.0, 0.49)
 
 _FR = 0.012
 _SEGS = (0.054, 0.0384, 0.0437)
@@ -27,18 +35,57 @@ _DRIVE = dict(stiffness=3.0, drive_damping=0.1, max_effort=0.7,
 
 FINGERTIP_BODIES = ("index_tip", "middle_tip", "pinky_tip", "thumb_tip")
 
+# Lab-selected cradle scene (tools/allegro_scene_lab.py): palm tilted about
+# the finger axis so the thumb side (+x) is downhill, thumb half-abducted
+# and base-flexed so its raised segments wall the downhill edge, fingers
+# slightly curled, cube spawned over the downhill half of the palm.
+DEFAULT_SCENE = dict(
+    tilt=(0.0, 0.45),            # (roll about x, pitch about y) radians
+    thumb_abduct=0.45,           # thumb_abduct default_q
+    thumb_flex=(1.0, 0.3, 0.3),  # thumb flex1/flex2/tip default_q
+    finger_curl=(0.25, 0.35, 0.2),  # finger flex1/flex2/tip default_q
+    object_local=(0.018, 0.028, 0.062),  # cube spawn, palm frame
+)
 
-def _seg(length, r=_FR, density=600.0):
-    return BodyGeoms(density).capsule((0, 0, 0), (0, length, 0), r).finalize()
+
+def _rot_xy(roll: float, pitch: float) -> np.ndarray:
+    """R = R_y(pitch) @ R_x(roll). R_y(+pitch) drops the +x (thumb) side."""
+    cr, sr = np.cos(roll), np.sin(roll)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    rx = np.array([[1, 0, 0], [0, cr, -sr], [0, sr, cr]])
+    ry = np.array([[cp, 0, sp], [0, 1, 0], [-sp, 0, cp]])
+    return ry @ rx
 
 
-def build_allegro_hand():
+def _quat_from_mat(R: np.ndarray) -> tuple:
+    w = np.sqrt(max(0.0, 1.0 + R[0, 0] + R[1, 1] + R[2, 2])) / 2.0
+    x = (R[2, 1] - R[1, 2]) / (4 * w)
+    y = (R[0, 2] - R[2, 0]) / (4 * w)
+    z = (R[1, 0] - R[0, 1]) / (4 * w)
+    return (w, x, y, z)
+
+
+def scene_frames(scene=None):
+    """(R, object_start, goal_pos) world-frame for a scene dict."""
+    s = dict(DEFAULT_SCENE, **(scene or {}))
+    R = _rot_xy(*s["tilt"])
+    obj = PALM_POS + R @ np.asarray(s["object_local"])
+    goal = obj + np.array([0.0, 0.0, -0.04])  # reference in_hand:195-196
+    return R, tuple(obj), tuple(goal)
+
+
+def build_allegro_hand(scene=None):
+    s = dict(DEFAULT_SCENE, **(scene or {}))
+    R, object_start, _ = scene_frames(s)
+    root_quat = _quat_from_mat(R)
+
     b = ModelBuilder("AllegroHand")
     gc = dict(gravity_comp=True)
     m, com, I = BodyGeoms(900.0).box((0, 0, 0), (0.05, 0.06, 0.015)).finalize()
     palm = b.add_body(
         "palm", parent=-1, joint_type=JointType.FIXED,
-        joint_pos=tuple(PALM_POS), mass=m, com=com, inertia=I, **gc,
+        joint_pos=tuple(PALM_POS), joint_quat=root_quat,
+        mass=m, com=com, inertia=I, **gc,
     )
     b.add_box_collider(palm, (0, 0, 0), (0.05, 0.06, 0.015), receive=True)
 
@@ -51,17 +98,14 @@ def build_allegro_hand():
             limit=(-0.47, 0.47), mass=0.02, inertia=(4e-6,) * 3,
             **_DRIVE, **gc,
         )
-    # default_q 0.8 rests the thumb diagonally across the palm: it acts as
-    # the -y retaining ridge the cube rests against (the round-3 full-budget
-    # run learns a stable hold this way). Round-3 also trialed thumb-aside
-    # (1.3) + cube-on-fingers spawns: statically stable and rich in rotation
-    # authority under scripted waves, but early-training finger curls fling
-    # the unretained cube instantly (ep_len ~4 for 3000 epochs), so it never
-    # learns to hold — reverted; see docs/release_notes.md open issue.
+    # The thumb rests half-abducted with its base flexed: the raised
+    # proximal segment walls the downhill (+x, tilted-low) palm edge, so
+    # gravity — not a pinned thumb across the palm — retains the cube,
+    # and the thumb keeps full authority to push the cube's downhill face.
     bases["thumb"] = b.add_body(
         "thumb_abduct", parent=palm, joint_type=JointType.REVOLUTE,
         joint_axis=(0, 0, 1), joint_pos=(0.05, -0.02, -0.005),
-        limit=(0.263, 1.396), default_q=0.8,
+        limit=(0.263, 1.396), default_q=s["thumb_abduct"],
         mass=0.03, inertia=(6e-6,) * 3, **_DRIVE, **gc,
     )
 
@@ -71,11 +115,13 @@ def build_allegro_hand():
     for level, seg_len in enumerate(_SEGS):
         for name in names:
             mm, com, I = _seg(seg_len)
+            dq = (s["thumb_flex"] if name == "thumb"
+                  else s["finger_curl"])[level]
             kwargs = dict(
                 joint_axis=(1, 0, 0),
                 joint_pos=(0, _SEGS[level - 1], 0) if level else (0, 0.01, 0),
                 limit=(-0.196, 1.61) if name != "thumb" else (-0.105, 1.163),
-                mass=mm, com=com, inertia=I,
+                mass=mm, com=com, inertia=I, default_q=dq,
             )
             suffix = "tip" if level == 2 else f"flex{level}"
             body = b.add_body(
@@ -93,7 +139,11 @@ def build_allegro_hand():
     obj = b.add_body(
         "object", parent=-1, joint_type=JointType.FREE,
         mass=OBJECT_MASS, inertia=(obj_inertia,) * 3,
-        default_pos=OBJECT_START,
+        default_pos=object_start,
     )
     b.add_box_collider(obj, (0, 0, 0), (h, h, h), receive=True, dense=True)
     return b.finalize()
+
+
+def _seg(length, r=_FR, density=600.0):
+    return BodyGeoms(density).capsule((0, 0, 0), (0, length, 0), r).finalize()

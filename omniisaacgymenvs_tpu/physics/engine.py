@@ -119,7 +119,7 @@ class PhysicsEngine:
         # classifying on the squared distance (ops/fused_substep.py box
         # branch); the fused pair path now matches the f64 ground truth
         # more closely than the XLA path on the same chip
-        # (scripts/debug_groundtruth.py).
+        # (tools/debug_groundtruth.py).
         h = self.params.dt / self.params.substeps
         self._has_height = self.height_fn is not None
         fused = _fs.build_fused_substep(
@@ -353,7 +353,7 @@ class PhysicsEngine:
         # einsums as single-pass bf16 on the TPU MXU, which costs ~3
         # decimal digits on positions that contact penetrations (sub-mm)
         # are computed from — measured 100x worse dqd error vs the f64
-        # ground truth than with f32 precision (scripts/debug_groundtruth)
+        # ground truth than with f32 precision (tools/debug_groundtruth)
         with jax.default_matmul_precision("float32"):
             return self._substep_inner(q, qd, control, f_applied, h, overlay)
 

@@ -38,7 +38,8 @@ class AllegroHandTask(InHandManipulationTask):
         assert self.obs_type in NUM_OBS_DICT, self.obs_type
         self.num_obs = NUM_OBS_DICT[self.obs_type]
 
-        self.model = alm.build_allegro_hand()
+        scene = env_cfg.get("scene")  # optional authoring overrides (lab)
+        self.model = alm.build_allegro_hand(scene)
         self.engine = PhysicsEngine(
             self.model,
             sim_params_from_cfg(
@@ -46,7 +47,8 @@ class AllegroHandTask(InHandManipulationTask):
                 gravity=(0.0, 0.0, -9.81),
             ),
         )
-        self.goal_pos = jnp.asarray(alm.GOAL_POS)
+        _, _, goal_pos = alm.scene_frames(scene)
+        self.goal_pos = jnp.asarray(goal_pos)
         self.actuated_dof_indices = jnp.arange(self.model.njd)
         self.coupled_pairs = ()
         self._post_model_init()

@@ -134,13 +134,17 @@ class AnymalTerrainTask(RLTask):
         # a 62-degree pseudo-ramp one cell wide that feet cannot grip
         # (mu=1 holds 45 degrees) — the round-2 curriculum plateau at
         # terrain_level ~4. Where the cell-to-cell slope exceeds
-        # slopeTreshold-like 0.75, the tread is treated as flat at the
-        # sampled height; gentle real slopes (<=37 degrees) keep their
-        # gradient.
+        # the configured slopeTreshold (reference AnymalTerrain.yaml:21,
+        # the same value that wall-corrects the reference trimesh), the
+        # tread is treated as flat at the sampled height; gentler real
+        # slopes keep their gradient.
         hf_raw = self._hf[:-1, :-1]
         dxs = jnp.concatenate([hf_raw[1:], hf_raw[-1:]], axis=0) - hf_raw
         dys = jnp.concatenate([hf_raw[:, 1:], hf_raw[:, -1:]], axis=1) - hf_raw
-        slope_lim = 0.75 * self.terrain.horizontal_scale
+        slope_lim = (
+            terrain_cfg.get("slopeTreshold", 0.5)
+            * self.terrain.horizontal_scale
+        )
         dxs = jnp.where(jnp.abs(dxs) > slope_lim, 0.0, dxs)
         dys = jnp.where(jnp.abs(dys) > slope_lim, 0.0, dys)
         self._hf_grad = jnp.stack(

@@ -165,13 +165,16 @@ class InHandManipulationTask(RLTask):
         goal_rand = jax.random.uniform(k[2], (2,), minval=-1.0, maxval=1.0)
         goal_rot = randomize_rotation(goal_rand[0], goal_rand[1])
 
-        # hand dofs: default + noise * interval-scaled random delta
+        # hand dofs: default + noise * interval-scaled random delta, deltas
+        # measured from the default pose (reference
+        # in_hand_manipulation.py:312-317)
         rand_dofs = jax.random.uniform(k[3], (nhd,), minval=-1.0, maxval=1.0)
-        delta_max = m.dof_limit_upper
-        delta_min = m.dof_limit_lower
+        dof_default = m.default_q[jnp.asarray(m.jq_idx)]
+        delta_max = m.dof_limit_upper - dof_default
+        delta_min = m.dof_limit_lower - dof_default
         rand_delta = delta_min + (delta_max - delta_min) * 0.5 * (rand_dofs + 1.0)
         dof_pos = jnp.clip(
-            self.reset_dof_pos_noise * rand_delta,
+            dof_default + self.reset_dof_pos_noise * rand_delta,
             m.dof_limit_lower, m.dof_limit_upper,
         )
         dof_vel = self.reset_dof_vel_noise * jax.random.uniform(

@@ -9,6 +9,8 @@ Checks:
   sqrt_branch   – the literal failure mode: interior box point must
                   classify as inside (zero d_out) under TPU sqrt rounding.
   pair_rest     – mini point-in-box scene at rest: fused vs XLA z drift.
+  pair_rest_interior – same scene, point starting INSIDE the box: the
+                  interior branch through the real kernel on-chip.
   shadowhand    – 40-step product rollout on the fused path: reset rate
                   must stay near the XLA path's (fall-through = ~10x more).
   ballbalance   – 40-step product rollout completes (r2 hang regression).
@@ -44,13 +46,14 @@ def check_sqrt_branch():
             "interior_misclassified": outside, "ok": not outside}
 
 
-def check_pair_rest():
+def check_pair_rest(z0=0.555):
     """Ball resting inside/on a box receiver: fused and XLA paths must
-    agree and neither may sink through."""
+    agree and neither may sink through. z0 places the point center just
+    above the box top (outside-branch settle)."""
     import jax
     import jax.numpy as jnp
 
-    from scripts.debug_pair_tpu import build_scene
+    from tools.debug_pair_tpu import build_scene
     from omniisaacgymenvs_tpu.ops import fused_substep as fs
 
     m, eng = build_scene("box")
@@ -62,8 +65,8 @@ def check_pair_rest():
     import numpy as np
 
     q = np.tile(np.asarray(m.default_q, np.float32), (N, 1))
-    q[:, qa + 2] = 0.555  # point 1.5 cm INSIDE the box top (half=0.04,
-    # box top at z=0.54, point radius 0.03)
+    q[:, qa + 2] = z0  # default 0.555: just above the box top (z=0.54,
+    # point radius 0.03) — settles through the outside branch
     q = jnp.asarray(q)
     qd = jnp.zeros((N, m.nv))
     eff = jnp.zeros((N, m.njd))
@@ -98,7 +101,7 @@ def _rollout(name, steps, N, mode):
     """Run a product rollout in a subprocess (own TPU context)."""
     here = os.path.dirname(os.path.abspath(__file__))
     r = subprocess.run(
-        [sys.executable, os.path.join(here, "debug_product_ab.py"),
+        [sys.executable, os.path.join(os.path.dirname(here), "tools", "debug_product_ab.py"),
          name, str(steps), str(N), mode],
         env=dict(os.environ, OIGE_TPU_FUSED="1" if mode == "fused" else "0"),
         capture_output=True, text=True, timeout=1500,
@@ -107,6 +110,14 @@ def _rollout(name, steps, N, mode):
         if line.startswith("RESULT"):
             return json.loads(line[len("RESULT "):])
     return {"error": r.stderr[-500:], "rc": r.returncode}
+
+
+def check_pair_rest_interior():
+    """Point center STARTING INSIDE the box (z=0.52 < top 0.54): drives the
+    interior-classification branch of the pair kernel on-chip — the exact
+    path the round-2 TPU approximate-sqrt bug flipped (check_sqrt_branch is
+    synthetic; this one goes through the real Pallas kernel)."""
+    return check_pair_rest(z0=0.52)
 
 
 def check_shadowhand():
@@ -131,7 +142,8 @@ def check_ballbalance():
 
 
 def main():
-    which = sys.argv[1:] or ["sqrt_branch", "pair_rest", "shadowhand",
+    which = sys.argv[1:] or ["sqrt_branch", "pair_rest",
+                             "pair_rest_interior", "shadowhand",
                              "ballbalance"]
     checks = {}
     for name in which:
