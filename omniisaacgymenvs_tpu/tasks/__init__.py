@@ -50,6 +50,11 @@ def _registry():
 
     task_map["ShadowHandOpenAI_FF"] = _openai_variant
     task_map["ShadowHandOpenAI_LSTM"] = lambda cfg: _openai_variant(cfg, True)
+
+    # bring-your-own-robot: task=Custom task.env.robot=<path>.urdf|.xml
+    from omniisaacgymenvs_tpu.tasks.custom import CustomRobotTask
+
+    task_map["Custom"] = CustomRobotTask
     return task_map
 
 
