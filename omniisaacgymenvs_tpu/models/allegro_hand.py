@@ -40,11 +40,11 @@ FINGERTIP_BODIES = ("index_tip", "middle_tip", "pinky_tip", "thumb_tip")
 # and base-flexed so its raised segments wall the downhill edge, fingers
 # slightly curled, cube spawned over the downhill half of the palm.
 DEFAULT_SCENE = dict(
-    tilt=(0.0, 0.45),            # (roll about x, pitch about y) radians
-    thumb_abduct=0.45,           # thumb_abduct default_q
-    thumb_flex=(1.0, 0.3, 0.3),  # thumb flex1/flex2/tip default_q
-    finger_curl=(0.25, 0.35, 0.2),  # finger flex1/flex2/tip default_q
-    object_local=(0.018, 0.028, 0.062),  # cube spawn, palm frame
+    tilt=(-0.15, 0.3),           # (roll about x, pitch about y) radians
+    thumb_abduct=0.35,           # thumb_abduct default_q
+    thumb_flex=(1.1, 0.4, 0.3),  # thumb flex1/flex2/tip default_q
+    finger_curl=(0.65, 0.7, 0.35),  # finger flex1/flex2/tip default_q
+    object_local=(0.015, 0.035, 0.052),  # cube spawn, palm frame
 )
 
 

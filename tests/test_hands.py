@@ -74,3 +74,31 @@ def test_fall_terminates():
     es = es.replace(phys=es.phys.replace(q=q))
     es = env.step(es, jnp.zeros((2, 20)))
     assert np.all(np.asarray(es.done))
+
+
+def test_allegro_cradle_retains_cube():
+    """The r4 AllegroHand cradle scene (tilted palm, thumb walling the
+    downhill edge, curled fingers — models/allegro_hand.py DEFAULT_SCENE):
+    holding the default pose must keep most randomly-oriented cubes inside
+    the fall distance for 1 s, with rich enough contact that obs stay
+    finite. Guards the scene against regressions of the round-3
+    hold-the-cube degenerate optimum (VERDICT r3 #1)."""
+    from omniisaacgymenvs_tpu.physics import rotations as rot
+
+    task = get_task("AllegroHand")
+    env = VecEnv(task, 8)
+    m = task.model
+    default = np.asarray(m.default_q)[np.asarray(m.jq_idx)]
+    hold = np.clip(
+        np.asarray(rot.unscale(default, m.dof_limit_lower,
+                               m.dof_limit_upper)), -1, 1)
+    acts = jnp.tile(jnp.asarray(hold, jnp.float32), (8, 1))
+    es = env.reset(seed=0)
+    falls = 0
+    for _ in range(60):
+        es = env.step(es, acts)
+        falls += int(np.asarray(es.done).sum())
+    assert np.all(np.isfinite(np.asarray(es.obs)))
+    # static retention ~0.75 (tools/allegro_scene_lab.py); 8 envs x 60
+    # steps should see at most a couple of drops
+    assert falls <= 3, f"cradle dropped the cube {falls} times"
