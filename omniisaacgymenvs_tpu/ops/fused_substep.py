@@ -196,7 +196,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                         dr_keys: tuple = ()):
     """Returns batched_substep(q, qd, effort, pos_target, vel_target,
     f_applied, planes) -> (q', qd', body_force_sensors) over a leading env
-    axis. When has_height, `planes` carries (ncp, 3) [c0, gx, gy] per
+    axis. When has_height, `planes` carries (ncp, 4) [nx, ny, nz, d] per
     ground contact point: surface z(x, y) = c0 + gx*x + gy*y.
 
     dr_keys: domain-randomization overlay parameters supplied as extra
@@ -310,7 +310,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
 
     I6_const = [spatial_I(i) for i in range(nb)]
 
-    n_planes = 3 * ncp if has_height else 0
+    n_planes = 4 * ncp if has_height else 0
     dr_sizes = {
         "damping_scale": njd, "friction_scale": nb, "geom_scale": nb,
         "gravity_delta": 3, "limit_lower_delta": njd,
@@ -436,7 +436,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
         ptg = [ins[nq + nv + njd + i] for i in range(njd)]
         vtg = [ins[nq + nv + 2 * njd + i] for i in range(njd)]
         fa0 = nq + nv + 3 * njd  # applied world wrench [t(3), f(3)] per body
-        hp0 = fa0 + 6 * nb       # heightfield planes [c0, gx, gy] per point
+        hp0 = fa0 + 6 * nb   # terrain contact planes [n(3), d] per point
 
         # domain-randomization overlay fields (per-env scales/deltas; the
         # XLA counterpart is engine._substep's `overlay` handling)
@@ -479,11 +479,14 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
                 mu_k = mu_k * fr[b]
             kn_k, kt_k, fnm_k = point_gains(k)
             if has_height:
-                c0, gx, gy = ins[hp0 + 3 * k], ins[hp0 + 3 * k + 1], ins[hp0 + 3 * k + 2]
-                h_at = c0 + gx * pt[0] + gy * pt[1]
-                pen = rad_k - (pt[2] - h_at)
-                Linv = 1.0 / jnp.sqrt(1.0 + gx * gx + gy * gy)
-                n_ = [-gx * Linv, -gy * Linv, Linv]
+                # general plane [n, d]: supports vertical stair-riser
+                # walls the z(x,y) form cannot express (tasks/
+                # anymal_terrain.py contact_plane_fn feature selection)
+                n_ = [ins[hp0 + 4 * k + j] for j in range(3)]
+                d_pl = ins[hp0 + 4 * k + 3]
+                dist = (n_[0] * pt[0] + n_[1] * pt[1] + n_[2] * pt[2]
+                        - d_pl)
+                pen = rad_k - dist
                 f = _contact_force_scalar(pen, n_, vpt, mu_k, kn_k, kt_k,
                                           fnm_k)
             else:
@@ -886,7 +889,7 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
             pack(f_applied.reshape(N, 6 * nb), 6 * nb),
         ]
         if has_height:
-            parts.append(pack(planes.reshape(N, 3 * ncp), 3 * ncp))
+            parts.append(pack(planes.reshape(N, 4 * ncp), 4 * ncp))
         for key, arr in zip(dr_keys, dr):
             parts.append(pack(arr.reshape(N, dr_sizes[key]), dr_sizes[key]))
         return jnp.concatenate(parts, axis=0)
@@ -895,7 +898,8 @@ def build_fused_substep(model: Model, h: float, gravity, contact,
     def batched(q, qd, effort, pos_target, vel_target, f_applied,
                 planes=None, dr=()):
         """f_applied: (N, nb, 6) world wrench [torque, force] per body;
-        planes: (N, ncp, 3) heightfield local planes (has_height only);
+        planes: (N, ncp, 4) terrain contact planes [unit normal n, offset
+        d] with penetration = radius - (n.pt - d) (has_height only);
         dr: per-env overlay arrays in dr_keys order."""
         N = q.shape[0]
         npad = -(-N // TILE) * TILE

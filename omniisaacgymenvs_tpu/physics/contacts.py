@@ -249,9 +249,13 @@ def plane_contacts(
     height_fn: Optional[Callable] = None,
     mu_scale: Optional[jax.Array] = None,
     geom_scale: Optional[jax.Array] = None,
+    plane_fn: Optional[Callable] = None,
 ) -> ContactResult:
-    """Contact forces against the ground plane z=0 (or a heightfield given by
-    height_fn(x, y) -> (h, normal)).
+    """Contact forces against the ground plane z=0, a heightfield given by
+    height_fn(x, y) -> (h, normal), or general per-point contact planes
+    given by plane_fn(pt, radius) -> (n, d) with penetration
+    radius - (n.pt - d) (supports vertical stair risers; takes precedence
+    over height_fn).
 
     mu_scale: optional (nb,) per-body friction multiplier (DR
     material_properties overlay); geom_scale: optional (nb,) per-body
@@ -269,12 +273,17 @@ def plane_contacts(
         cp_radius = cp_radius * gs
     # world contact point positions
     pt = body_pos[cb] + jnp.einsum("cij,cj->ci", body_rot[cb], cp_pos)
-    if height_fn is None:
-        h = jnp.zeros(pt.shape[0])
-        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), pt.shape)
-    else:
+    if plane_fn is not None:
+        n, d = plane_fn(pt, cp_radius)
+        pen = cp_radius - (jnp.sum(pt * n, axis=-1) - d)
+    elif height_fn is not None:
+        # normal (not vertical) distance to the plane through (x, y, h):
+        # matches the fused kernel's general-plane penetration exactly
         h, n = height_fn(pt[..., 0], pt[..., 1])
-    pen = cp_radius - (pt[..., 2] - h)
+        pen = cp_radius - (pt[..., 2] - h) * n[..., 2]
+    else:
+        n = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), pt.shape)
+        pen = cp_radius - pt[..., 2]
     active = pen > 0.0
 
     # contact point velocity

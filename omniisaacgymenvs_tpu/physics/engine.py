@@ -69,10 +69,18 @@ class PhysicsEngine:
         model: Model,
         params: SimParams,
         height_fn: Optional[Callable] = None,
+        contact_plane_fn: Optional[Callable] = None,
     ):
+        """height_fn(x, y) -> (h, n): terrain as a height function.
+        contact_plane_fn(pt, radius) -> (n, d): general per-point contact
+        plane (unit normal n, offset d, penetration = radius - (n.pt - d))
+        — supports vertical features (stair risers) height_fn cannot
+        express; when given it takes precedence for contact forces and
+        height_fn (if any) is only a fallback."""
         self.model = model
         self.params = params
         self.height_fn = height_fn
+        self.contact_plane_fn = contact_plane_fn
         self._gravity = jnp.asarray(params.gravity, jnp.float32)
         self.contact_params = (
             params.contact
@@ -121,7 +129,9 @@ class PhysicsEngine:
         # more closely than the XLA path on the same chip
         # (tools/debug_groundtruth.py).
         h = self.params.dt / self.params.substeps
-        self._has_height = self.height_fn is not None
+        self._has_height = (
+            self.height_fn is not None or self.contact_plane_fn is not None
+        )
         fused = _fs.build_fused_substep(
             self.model, h, self.params.gravity, self.contact_params,
             has_height=self._has_height,
@@ -154,7 +164,7 @@ class PhysicsEngine:
             p = bc(p, in_batched[3], (m.njd,))
             v = bc(v, in_batched[4], (m.njd,))
             fa = bc(fa, in_batched[5], (m.nb, 6))
-            pl_ = bc(pl_, in_batched[6], (ncp, 3))
+            pl_ = bc(pl_, in_batched[6], (ncp, 4))
             out = fused(q, qd, e, p, v, fa, pl_)
             return out, (True, True, True)
 
@@ -257,7 +267,7 @@ class PhysicsEngine:
             p = bc(p, in_batched[3], (m.njd,))
             v = bc(v, in_batched[4], (m.njd,))
             fa = bc(fa, in_batched[5], (m.nb, 6))
-            pl_ = bc(pl_, in_batched[6], (ncp, 3))
+            pl_ = bc(pl_, in_batched[6], (ncp, 4))
             dr = tuple(
                 bc(x, b, eng._dr_shape(key))
                 for x, b, key in zip(dr_vals, in_batched[7:], dr_keys)
@@ -319,25 +329,30 @@ class PhysicsEngine:
 
     # ------------------------------------------------------------------
     def _contact_planes(self, state: State) -> jax.Array:
-        """Per-contact-point heightfield local plane [c0, gx, gy] with
-        surface z(x, y) = c0 + gx*x + gy*y, sampled at the control-step-start
+        """Per-contact-point terrain contact plane [n (unit), d] with
+        penetration = radius - (n.pt - d), sampled at the control-step-start
         contact point positions. The fused kernel freezes these planes over
         the substeps of one control step (ops/fused_substep.py): feet move
-        O(mm) per control step so the local plane tracks the bilinear field.
-        Returns zeros when there is no heightfield (flat ground z=0)."""
+        O(mm) per control step so the local plane tracks the terrain.
+        With contact_plane_fn the task selects the nearest local feature
+        (stair tread OR vertical riser wall — tasks/anymal_terrain.py);
+        with only height_fn the plane is anchored at the sampled height.
+        Returns zeros when there is no terrain (flat ground z=0)."""
         m = self.model
         ncp = int(m.cp_body.shape[0])
-        if self.height_fn is None or ncp == 0:
-            return jnp.zeros((ncp, 3))
+        if (self.height_fn is None and self.contact_plane_fn is None) \
+                or ncp == 0:
+            return jnp.zeros((ncp, 4))
         cb = m.cp_body
         R = rot.quat_to_rotmat(state.body_quat[cb])
         pt = state.body_pos[cb] + jnp.einsum("cij,cj->ci", R, m.cp_pos)
-        h, n = self.height_fn(pt[..., 0], pt[..., 1])
-        nz = jnp.maximum(n[..., 2], 1e-3)
-        gx = -n[..., 0] / nz
-        gy = -n[..., 1] / nz
-        c0 = h - gx * pt[..., 0] - gy * pt[..., 1]
-        return jnp.stack([c0, gx, gy], axis=-1)
+        if self.contact_plane_fn is not None:
+            n, d = self.contact_plane_fn(pt, m.cp_radius)
+        else:
+            h, n = self.height_fn(pt[..., 0], pt[..., 1])
+            anchor = jnp.stack([pt[..., 0], pt[..., 1], h], axis=-1)
+            d = jnp.sum(n * anchor, axis=-1)
+        return jnp.concatenate([n, d[..., None]], axis=-1)
 
     # ------------------------------------------------------------------
     def _substep(self, q, qd, control: Control, f_applied, h, overlay=None):
@@ -373,6 +388,7 @@ class PhysicsEngine:
         cres = plane_contacts(
             m, pw, Rw, avel, lvel, cparams, self.height_fn,
             mu_scale=mu_scale, geom_scale=geom_scale,
+            plane_fn=self.contact_plane_fn,
         )
         f_contact = cres.f_ext
         if self._has_pairs:

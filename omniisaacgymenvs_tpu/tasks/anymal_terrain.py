@@ -123,8 +123,8 @@ class AnymalTerrainTask(RLTask):
         hf_min = jnp.minimum(self._hf[:-1, :-1], self._hf[1:, 1:])
         self._hf_min = hf_min.ravel()
         self._hf_cols = self._hf.shape[1] - 1
-        # packed (h(x,y), h(x+hs,y), h(x,y+hs)) so the contact-normal lookup
-        # (_height_fn) is ONE 3-wide gather instead of three.
+        # the contact table below packs tread + neighbor heights so the
+        # contact-plane lookup (_contact_plane_fn) is ONE 7-wide gather.
         # CONTACT uses the RAW cell height with a SLOPE-LIMITED gradient:
         # the reference collides against a trimesh whose near-vertical
         # faces are slope-corrected to true walls
@@ -145,11 +145,20 @@ class AnymalTerrainTask(RLTask):
             terrain_cfg.get("slopeTreshold", 0.5)
             * self.terrain.horizontal_scale
         )
-        dxs = jnp.where(jnp.abs(dxs) > slope_lim, 0.0, dxs)
-        dys = jnp.where(jnp.abs(dys) > slope_lim, 0.0, dys)
-        self._hf_grad = jnp.stack(
-            [hf_raw, hf_raw + dxs, hf_raw + dys], axis=-1,
-        ).reshape(-1, 3)
+        dxs_t = jnp.where(jnp.abs(dxs) > slope_lim, 0.0, dxs)
+        dys_t = jnp.where(jnp.abs(dys) > slope_lim, 0.0, dys)
+        # packed per-cell contact table [h, h+gx*hs, h+gy*hs (slope-limited
+        # tread plane), hxp, hxn, hyp, hyn (raw 4-neighbor heights for the
+        # riser walls)] — one 7-wide gather per contact point
+        hxp = jnp.concatenate([hf_raw[1:], hf_raw[-1:]], axis=0)
+        hxn = jnp.concatenate([hf_raw[:1], hf_raw[:-1]], axis=0)
+        hyp = jnp.concatenate([hf_raw[:, 1:], hf_raw[:, -1:]], axis=1)
+        hyn = jnp.concatenate([hf_raw[:, :1], hf_raw[:, :-1]], axis=1)
+        self._hf_pack = jnp.stack(
+            [hf_raw, hf_raw + dxs_t, hf_raw + dys_t, hxp, hxn, hyp, hyn],
+            axis=-1,
+        ).reshape(-1, 7)
+        self._slope_lim_h = slope_lim
         self._hs = self.terrain.horizontal_scale
         self._border = self.terrain.border_size
         self._origins = jnp.asarray(self.terrain.env_origins, jnp.float32)
@@ -171,7 +180,7 @@ class AnymalTerrainTask(RLTask):
                 dict(sim_cfg, dt=self.sim_dt), substeps=1,
                 gravity=(0.0, 0.0, -9.81),
             ),
-            height_fn=self._height_fn,
+            contact_plane_fn=self._contact_plane_fn,
         )
         self.default_dof_pos = self.model.default_q[self.model.jq0:]
         self._knee_bodies = jnp.asarray(
@@ -200,24 +209,85 @@ class AnymalTerrainTask(RLTask):
         )
         return jnp.take(self._hf_min, px * self._hf_cols + py)
 
-    def _height_fn(self, x, y):
-        """Contact height + normal for the engine (one packed gather)."""
-        px = jnp.clip(
-            ((x + self._border) / self._hs).astype(jnp.int32),
-            0, self._hf.shape[0] - 2,
-        )
-        py = jnp.clip(
-            ((y + self._border) / self._hs).astype(jnp.int32),
-            0, self._hf.shape[1] - 2,
-        )
-        vals = jnp.take(self._hf_grad, px * self._hf_cols + py, axis=0)
+    def _contact_plane_fn(self, pt, radius):
+        """Nearest-local-feature contact plane per point: stair TREAD
+        (slope-limited cell plane, as before) or vertical RISER wall at a
+        cell boundary whose neighbor differs by more than slopeTreshold*hs.
+        The reference collides a trimesh whose near-vertical faces are
+        wall-corrected (terrain_utils.py convert_heightfield_to_trimesh
+        slope_threshold): feet meeting a step edge get pushed BACK
+        horizontally, not launched vertically. The round-3 single-plane
+        model turned risers into vertical launchers (a foot crossing into
+        the high cell saw instant 19 cm tread penetration) — the suspected
+        blocker at curriculum levels 6+ (VERDICT r3 #4). Selection: among
+        {tread, 8 riser candidates} pick the ACTIVE feature with the
+        smallest positive penetration (nearest surface of the solid)."""
+        x, y, z = pt[..., 0], pt[..., 1], pt[..., 2]
+        fx = (x + self._border) / self._hs
+        fy = (y + self._border) / self._hs
+        px = jnp.clip(fx.astype(jnp.int32), 0, self._hf.shape[0] - 2)
+        py = jnp.clip(fy.astype(jnp.int32), 0, self._hf.shape[1] - 2)
+        vals = jnp.take(self._hf_pack, px * self._hf_cols + py, axis=0)
         h, hx, hy = vals[..., 0], vals[..., 1], vals[..., 2]
-        n = jnp.stack(
+        hxp, hxn, hyp, hyn = (vals[..., 3], vals[..., 4],
+                              vals[..., 5], vals[..., 6])
+        # tread plane anchored at (x, y, h) with the slope-limited gradient
+        n_t = jnp.stack(
             [-(hx - h) / self._hs, -(hy - h) / self._hs, jnp.ones_like(h)],
             axis=-1,
         )
-        n = n / jnp.linalg.norm(n, axis=-1, keepdims=True)
-        return h, n
+        n_t = n_t / jnp.linalg.norm(n_t, axis=-1, keepdims=True)
+        d_t = n_t[..., 0] * x + n_t[..., 1] * y + n_t[..., 2] * h
+        best_pen = radius - (jnp.sum(pt * n_t, axis=-1) - d_t)
+        best_n, best_d = n_t, d_t
+
+        lim = self._slope_lim_h
+        bx1 = (px + 1).astype(jnp.float32) * self._hs - self._border
+        bx0 = px.astype(jnp.float32) * self._hs - self._border
+        by1 = (py + 1).astype(jnp.float32) * self._hs - self._border
+        by0 = py.astype(jnp.float32) * self._hs - self._border
+        zero = jnp.zeros_like(h)
+        one = jnp.ones_like(h)
+
+        def fold(best, cand):
+            (bp, bn, bd) = best
+            pen, n, d, act = cand
+            sel = act & (pen > 0.0) & ((pen < bp) | (bp <= 0.0))
+            return (
+                jnp.where(sel, pen, bp),
+                jnp.where(sel[..., None], n, bn),
+                jnp.where(sel, d, bd),
+            )
+
+        # (neighbor height, boundary coord, wall normal, coordinate value)
+        walls = [
+            # higher-neighbor walls: push back toward own (low) cell,
+            # active below the neighbor's tread level
+            (hxp, bx1, (-one, zero, zero), x, hxp - h > lim, z < hxp),
+            (hxn, bx0, (one, zero, zero), x, hxn - h > lim, z < hxn),
+            (hyp, by1, (zero, -one, zero), y, hyp - h > lim, z < hyp),
+            (hyn, by0, (zero, one, zero), y, hyn - h > lim, z < hyn),
+            # drop-edge walls: a point burrowed under its OWN tread next to
+            # a lower neighbor crossed the riser from the low side — push it
+            # back out toward the low side
+            (hxp, bx1, (one, zero, zero), x, h - hxp > lim,
+             (z < h) & (z > hxp)),
+            (hxn, bx0, (-one, zero, zero), x, h - hxn > lim,
+             (z < h) & (z > hxn)),
+            (hyp, by1, (zero, one, zero), y, h - hyp > lim,
+             (z < h) & (z > hyp)),
+            (hyn, by0, (zero, -one, zero), y, h - hyn > lim,
+             (z < h) & (z > hyn)),
+        ]
+        best = (best_pen, best_n, best_d)
+        for _, b, nw, coord, is_wall, in_span in walls:
+            n = jnp.stack(nw, axis=-1)
+            # plane: n . p = d with d = +-b along the wall axis
+            d = n[..., 0] * b + n[..., 1] * b  # one term is zero
+            pen = radius - (jnp.sum(pt * n, axis=-1) - d)
+            best = fold(best, (pen, n, d, is_wall & in_span))
+        _, n, d = best
+        return n, d
 
     # ------------------------------------------------------------------
     def initial_carry(self):

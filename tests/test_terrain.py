@@ -70,31 +70,58 @@ def test_anymal_terrain_termination_and_reset():
     assert np.all(np.asarray(es.phys.q[:, 2] - h) > 0.4)
 
 
-def test_contact_planes_slope_limited():
-    """Contact planes use raw cell heights with slope-limited gradients:
-    stair risers must read as FLAT treads (gradient zeroed where the
-    cell-to-cell jump exceeds 0.75*horizontal_scale — the reference's
-    slope-corrected trimesh walls), while gentle slopes keep their
-    gradient. Round-2 curriculum plateau regression."""
+def test_contact_planes_tread_and_riser():
+    """Two-plane terrain contact (r4): the packed cell table keeps RAW
+    heights with SLOPE-LIMITED tread gradients (risers read as flat treads,
+    gentle slopes keep their gradient — round-2 plateau regression), and
+    _contact_plane_fn selects a VERTICAL riser wall for a point beside a
+    super-threshold step (the round-3 single-plane model launched such
+    feet vertically, VERDICT r3 #4)."""
     task = get_task("AnymalTerrain", {
         "env": {"terrain": {"numLevels": 3, "numTerrains": 4,
                             "mapLength": 4.0, "mapWidth": 4.0,
                             "borderSize": 4.0}}})
     hf = np.asarray(task._hf)[:-1, :-1]
-    grad = np.asarray(task._hf_grad).reshape(hf.shape[0], hf.shape[1], 3)
+    pack = np.asarray(task._hf_pack).reshape(hf.shape[0], hf.shape[1], 7)
     hs = task._hs
-    lim = 0.75 * hs
+    lim = task._slope_lim_h
     # raw forward differences
     dx = np.concatenate([hf[1:], hf[-1:]], axis=0) - hf
     dy = np.concatenate([hf[:, 1:], hf[:, -1:]], axis=1) - hf
     # a stairs grid must actually contain super-threshold jumps
-    steep = np.abs(dx) > lim
+    steep = dx > lim
     assert steep.any(), "test terrain has no risers - broaden the config"
-    # risers flattened, gentle slopes preserved, heights raw
-    np.testing.assert_allclose(grad[..., 0], hf, atol=1e-6)
+    # tread part: risers flattened, gentle slopes preserved, heights raw
+    np.testing.assert_allclose(pack[..., 0], hf, atol=1e-6)
     np.testing.assert_allclose(
-        grad[..., 1] - grad[..., 0], np.where(np.abs(dx) > lim, 0.0, dx),
+        pack[..., 1] - pack[..., 0], np.where(np.abs(dx) > lim, 0.0, dx),
         atol=1e-6)
     np.testing.assert_allclose(
-        grad[..., 2] - grad[..., 0], np.where(np.abs(dy) > lim, 0.0, dy),
+        pack[..., 2] - pack[..., 0], np.where(np.abs(dy) > lim, 0.0, dy),
         atol=1e-6)
+    # neighbor part carries the raw +x neighbor height
+    np.testing.assert_allclose(
+        pack[:-1, :, 3], hf[1:, :], atol=1e-6)
+
+    # pick a cell with a riser to its +x neighbor and probe two points
+    cx, cy = np.argwhere(steep)[0]
+    h_low, h_high = hf[cx, cy], hf[cx + 1, cy]
+    bx1 = (cx + 1) * hs - task._border
+    x_mid = cx * hs - task._border + 0.5 * hs
+    y_mid = cy * hs - task._border + 0.5 * hs
+    radius = jnp.full((2,), 0.03)
+    pts = jnp.asarray([
+        # (a) on open tread, away from the wall: tread plane (normal ~z)
+        [x_mid, y_mid, h_low + 0.01],
+        # (b) hugging the wall below the upper tread: riser plane (~-x)
+        [bx1 - 0.01, y_mid, (h_low + h_high) / 2.0],
+    ], jnp.float32)
+    n, d = task._contact_plane_fn(pts, radius)
+    n, d = np.asarray(n), np.asarray(d)
+    assert n[0, 2] > 0.9, f"expected tread normal, got {n[0]}"
+    assert n[1, 0] < -0.9, f"expected -x riser wall normal, got {n[1]}"
+    # wall plane sits at the cell boundary: n.p = d -> -bx1 = d
+    np.testing.assert_allclose(d[1], -bx1, atol=1e-5)
+    # penetration through the wall = radius - (bx1 - x) = 0.03 - 0.01
+    pen = radius[1] - (np.dot(n[1], np.asarray(pts[1])) - d[1])
+    np.testing.assert_allclose(pen, 0.02, atol=1e-5)
