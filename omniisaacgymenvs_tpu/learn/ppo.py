@@ -50,6 +50,11 @@ class PPOConfig:
     tau: float = 0.95
     learning_rate: float = 3e-4
     lr_schedule: str = "adaptive"
+    # adaptive-LR update cadence: "legacy" adapts after every minibatch
+    # (rl_games legacy schedule), "standard" once per mini-epoch on the
+    # mini-epoch's mean KL (rl_games schedule_type: standard — what every
+    # reference cfg/train yaml declares)
+    schedule_type: str = "legacy"
     kl_threshold: float = 0.008
     e_clip: float = 0.2
     clip_value: bool = True
@@ -535,6 +540,18 @@ class PPOTrainer:
         )
         return ts, jnp.mean(losses)
 
+    def _adapt_lr(self, lr, kl):
+        cfg = self.cfg
+        return jnp.where(
+            kl > 2.0 * cfg.kl_threshold,
+            jnp.maximum(lr / 1.5, cfg.lr_min),
+            jnp.where(
+                kl < 0.5 * cfg.kl_threshold,
+                jnp.minimum(lr * 1.5, cfg.lr_max),
+                lr,
+            ),
+        )
+
     def _update(self, ts: TrainState, dataset, advs_mean, advs_std,
                 num_slices, mb_slices):
         """mini_epochs x minibatch SGD with adaptive-KL LR ('legacy'
@@ -556,17 +573,8 @@ class PPOTrainer:
             aux = jax.tree.map(lambda a: jnp.nan_to_num(a), aux)
             updates, opt_state = self.opt.update(grads, opt_state, params)
             params = jax.tree.map(lambda p, u: p - lr * u, params, updates)
-            if cfg.lr_schedule == "adaptive":
-                kl = aux["kl"]
-                lr = jnp.where(
-                    kl > 2.0 * cfg.kl_threshold,
-                    jnp.maximum(lr / 1.5, cfg.lr_min),
-                    jnp.where(
-                        kl < 0.5 * cfg.kl_threshold,
-                        jnp.minimum(lr * 1.5, cfg.lr_max),
-                        lr,
-                    ),
-                )
+            if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "legacy":
+                lr = self._adapt_lr(lr, aux["kl"])
             aux["loss"] = loss
             return (params, opt_state, lr), aux
 
@@ -585,6 +593,10 @@ class PPOTrainer:
             (params, opt_state, lr), aux = jax.lax.scan(
                 mb_update, (params, opt_state, lr), mbs
             )
+            if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "standard":
+                # rl_games schedule_type standard: one LR update per
+                # mini-epoch on the mean KL of its minibatches
+                lr = self._adapt_lr(lr, jnp.mean(aux["kl"]))
             return (params, opt_state, lr), aux
 
         rng, *keys = jax.random.split(ts.rng, cfg.mini_epochs + 1)
