@@ -30,15 +30,42 @@ VARIANTS = {
     "openai-60hz": {"controlFrequencyInv": 2, "actionsMovingAverage": 1.0,
                     "episodeLength": 480},
     "openai-tol1": {"successTolerance": 0.1},
+    # cross-overs: split env reward structure from learner config
+    # ShadowHand-like env dynamics under the FF learner (CV, net 400,
+    # minibatch 16384, gamma 0.998, standard schedule)
+    "shenv-ffcfg": {"observationType": "full", "successTolerance": 0.1,
+                    "maxConsecutiveSuccesses": 0, "fallPenalty": 0.0,
+                    "episodeLength": 600, "controlFrequencyInv": 2,
+                    "actionsMovingAverage": 1.0},
+    # FF env under the ShadowHand learner (no CV, net 512, minibatch
+    # 32768, mini_epochs 5, gamma 0.99, value_bootstrap, legacy schedule)
+    "ffenv-shcfg": {"_train": "ShadowHand", "asymmetric_observations": False,
+                    "observationType": "full"},
+    # bisect the FF learner: CV off (shared-trunk critic), rest identical
+    "ffcfg-nocv": {"asymmetric_observations": False,
+                   "observationType": "full"},
+    # gamma alone
+    "ffcfg-g99": {"_gamma": 0.99},
+    # legacy (per-minibatch) LR schedule alone
+    "ffcfg-legacy": {"_schedule": "legacy"},
 }
 
 
 def run(name, epochs):
     cfg = load_config({"task": "ShadowHandOpenAI_FF"})
+    spec = dict(VARIANTS[name])
+    if spec.pop("_train", None) == "ShadowHand":
+        cfg["train"] = load_config({"task": "ShadowHand"})["train"]
+    g = spec.pop("_gamma", None)
+    if g is not None:
+        cfg["train"]["params"]["config"]["gamma"] = g
+    sch = spec.pop("_schedule", None)
+    if sch is not None:
+        cfg["train"]["params"]["config"]["schedule_type"] = sch
     tc = copy.deepcopy(cfg["task"])
     tc["env"]["forceScale"] = 0.0
     tc.get("domain_randomization", {})["randomize"] = False
-    tc["env"].update(VARIANTS[name])
+    tc["env"].update(spec)
     task = get_task("ShadowHandOpenAI_FF", tc)
     env = VecEnv(task, tc["env"]["numEnvs"])
     kw = ppo_config_kwargs(cfg["train"])
