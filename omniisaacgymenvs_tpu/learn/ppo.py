@@ -94,6 +94,10 @@ class PPOConfig:
     # rl_games mixed_precision: bf16 network compute (MXU), f32 params,
     # losses and running norms stay f32
     mixed_precision: bool = False
+    # asymmetric mode only: ALSO train the actor's own value head on
+    # returns (auxiliary feature-shaping for the shared trunk; the head
+    # plays no role in GAE — that stays the central value's job)
+    actor_aux_value_loss: bool = False
 
 
 @flax.struct.dataclass
@@ -414,8 +418,21 @@ class PPOTrainer:
         if self.use_cv:
             # the critic is the separate central-value network, trained by
             # _cv_update with its own optimizer/minibatching (rl_games
-            # CentralValueTrain) — the actor update carries no critic term
-            critic_loss = jnp.zeros(())
+            # CentralValueTrain) — the actor update carries no critic term.
+            # actor_aux_value_loss additionally trains the actor's own
+            # (GAE-unused) value head on returns as an auxiliary task:
+            # without it the shared trunk learns from the policy gradient
+            # alone and FF/LSTM goal-seeking stalls (tools/ff_ablate.py
+            # r4 bisection: no-CV 0.91 vs CV 0.43 at 1500 epochs with
+            # near-identical critic explained variance)
+            if cfg.actor_aux_value_loss:
+                if cfg.normalize_value:
+                    tgt_n = ts.value_norm.normalize(mb["ret"], clip=jnp.inf)
+                else:
+                    tgt_n = mb["ret"]
+                critic_loss = 0.5 * jnp.mean((v_pred_n - tgt_n) ** 2)
+            else:
+                critic_loss = jnp.zeros(())
         else:
             critic_loss = 0.5 * jnp.mean(
                 self._value_loss(v_pred_n, mb["value"], mb["ret"], ts)
@@ -731,6 +748,11 @@ class PPOTrainer:
             mean_ep_length=ts.len_mean,
             episodes=stats["fin_cnt"],
             mean_step_reward=jnp.mean(traj["reward"]),
+            # critic quality: EV of the rollout value estimates vs realized
+            # GAE returns (1 = perfect, 0 = no better than the mean)
+            explained_variance=1.0
+            - jnp.var(traj["ret"] - traj["value"])
+            / (jnp.var(traj["ret"]) + 1e-8),
             lr=ts.lr,
             **aux,
         )

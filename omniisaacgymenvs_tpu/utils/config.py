@@ -142,6 +142,7 @@ def ppo_config_kwargs(train_cfg: dict) -> dict:
         learning_rate=float(c.get("learning_rate", 3e-4)),
         lr_schedule=c.get("lr_schedule", "adaptive"),
         schedule_type=c.get("schedule_type", "legacy"),
+        actor_aux_value_loss=c.get("actor_aux_value_loss", False),
         kl_threshold=float(c.get("kl_threshold", 0.008)),
         e_clip=c.get("e_clip", 0.2),
         clip_value=c.get("clip_value", True),

@@ -48,6 +48,12 @@ VARIANTS = {
     "ffcfg-g99": {"_gamma": 0.99},
     # legacy (per-minibatch) LR schedule alone
     "ffcfg-legacy": {"_schedule": "legacy"},
+    # CV trained gentler: lower LR / fewer passes per epoch
+    "ffcfg-cvlr1e4": {"_cv": {"learning_rate": 1e-4}},
+    "ffcfg-cvme2": {"_cv": {"mini_epochs": 2}},
+    "ffcfg-cvlr1e4me2": {"_cv": {"learning_rate": 1e-4, "mini_epochs": 2}},
+    # CV for GAE + actor value head trained on returns as auxiliary task
+    "ffcfg-auxv": {"_cfgset": {"actor_aux_value_loss": True}},
 }
 
 
@@ -62,6 +68,12 @@ def run(name, epochs):
     sch = spec.pop("_schedule", None)
     if sch is not None:
         cfg["train"]["params"]["config"]["schedule_type"] = sch
+    cv = spec.pop("_cv", None)
+    if cv is not None:
+        cfg["train"]["params"]["config"]["central_value_config"].update(cv)
+    cs = spec.pop("_cfgset", None)
+    if cs is not None:
+        cfg["train"]["params"]["config"].update(cs)
     tc = copy.deepcopy(cfg["task"])
     tc["env"]["forceScale"] = 0.0
     tc.get("domain_randomization", {})["randomize"] = False
@@ -79,6 +91,8 @@ def run(name, epochs):
         variant=name, epochs=epochs,
         cons_curve=[round(h.get("Episode/consecutive_successes", 0.0), 2)
                     for h in hist[:: max(1, len(hist) // 10)]],
+        ev_curve=[round(h.get("explained_variance", 0.0), 3)
+                  for h in hist[:: max(1, len(hist) // 10)]],
         ep_len=round(hist[-1]["mean_ep_length"], 1),
         steps_s=round(epochs * trainer.cfg.horizon_length * env.num_envs
                       / (time.time() - t0)),
