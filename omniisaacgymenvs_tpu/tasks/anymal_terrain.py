@@ -159,6 +159,14 @@ class AnymalTerrainTask(RLTask):
             axis=-1,
         ).reshape(-1, 7)
         self._slope_lim_h = slope_lim
+        # riser walls OFF by default: the r4 full-budget run with walls
+        # reached terrain_level 4.46 vs 5.58 tread-only — the vertical
+        # riser faces (physically faithful to the reference trimesh) make
+        # stair edges harder than the tread-jump assist they replace, and
+        # the policy has not yet re-learned edge stepping. Enable with
+        # terrain.riserWalls=True for the faithful-wall model (r5 tuning
+        # item: wall top margin / per-substep plane refresh).
+        self._riser_walls = bool(terrain_cfg.get("riserWalls", False))
         self._hs = self.terrain.horizontal_scale
         self._border = self.terrain.border_size
         self._origins = jnp.asarray(self.terrain.env_origins, jnp.float32)
@@ -280,6 +288,8 @@ class AnymalTerrainTask(RLTask):
              (z < h) & (z > hyn)),
         ]
         best = (best_pen, best_n, best_d)
+        if not self._riser_walls:
+            walls = []
         for _, b, nw, coord, is_wall, in_span in walls:
             n = jnp.stack(nw, axis=-1)
             # plane: n . p = d with d = +-b along the wall axis

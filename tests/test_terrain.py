@@ -80,7 +80,7 @@ def test_contact_planes_tread_and_riser():
     task = get_task("AnymalTerrain", {
         "env": {"terrain": {"numLevels": 3, "numTerrains": 4,
                             "mapLength": 4.0, "mapWidth": 4.0,
-                            "borderSize": 4.0}}})
+                            "borderSize": 4.0, "riserWalls": True}}})
     hf = np.asarray(task._hf)[:-1, :-1]
     pack = np.asarray(task._hf_pack).reshape(hf.shape[0], hf.shape[1], 7)
     hs = task._hs
