@@ -391,14 +391,21 @@ class PPOTrainer:
         if self.is_rnn:
             hidden = (mb["hidden_h"], mb["hidden_c"])
 
-            def cell(hid, xt):
+            def cell(hid, xt_dt):
+                xt, dt = xt_dt
                 mu, log_std, v, hid = self.net.apply(
                     params["ac"], xt, hid
+                )
+                # mirror the rollout's episode-boundary hidden reset
+                hid = tuple(
+                    jnp.where(dt[:, None], jnp.zeros_like(h), h)
+                    for h in hid
                 )
                 return hid, (mu, jnp.broadcast_to(log_std, mu.shape), v)
 
             _, (mu, log_std, v_pred_n) = jax.lax.scan(
-                cell, hidden, jnp.swapaxes(x, 0, 1)
+                cell, hidden,
+                (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mb["done"], 0, 1)),
             )
             mu = jnp.swapaxes(mu, 0, 1)
             log_std = jnp.swapaxes(log_std, 0, 1)
@@ -491,11 +498,20 @@ class PPOTrainer:
         if self.is_cv_rnn:
             hidden = (mb["cv_hidden_h"], mb["cv_hidden_c"])
 
-            def cell(hid, xt):
+            def cell(hid, xt_dt):
+                xt, dt = xt_dt
                 v, hid = self.cv_net.apply(cv_params, xt, hid)
+                # mirror the rollout's episode-boundary hidden reset
+                hid = tuple(
+                    jnp.where(dt[:, None], jnp.zeros_like(h), h)
+                    for h in hid
+                )
                 return hid, v
 
-            _, v_pred_n = jax.lax.scan(cell, hidden, jnp.swapaxes(sx, 0, 1))
+            _, v_pred_n = jax.lax.scan(
+                cell, hidden,
+                (jnp.swapaxes(sx, 0, 1), jnp.swapaxes(mb["done"], 0, 1)),
+            )
             v_pred_n = jnp.swapaxes(v_pred_n, 0, 1)
         else:
             v_pred_n = self.cv_net.apply(cv_params, sx)
@@ -661,6 +677,12 @@ class PPOTrainer:
             dataset = {
                 k: to_seq(v) for k, v in traj.items() if k not in skip
             }
+            # per-step done: the BPTT replay must reset hidden at episode
+            # boundaries exactly like the rollout did, or replayed mu
+            # diverges on every chunk containing a done -> irreducible
+            # KL floor ~0.03 -> the adaptive LR rails at lr_min (the r3
+            # LSTM stall: lr pinned at 1e-6 from epoch 400)
+            dataset["done"] = to_seq(traj["done"])
             for k in ("hidden_h", "hidden_c"):
                 dataset[k] = hid_start(traj[k])
             num_slices = N * nch
@@ -673,6 +695,7 @@ class PPOTrainer:
                     k: to_seq(traj[k]) for k in ("states", "value", "ret")
                 }
                 if self.is_cv_rnn:
+                    cv_dataset["done"] = dataset["done"]
                     for k in ("cv_hidden_h", "cv_hidden_c"):
                         cv_dataset[k] = hid_start(traj[k])
                 cv_slices = num_slices

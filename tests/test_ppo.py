@@ -328,3 +328,23 @@ def test_rnn_ratio_starts_at_one_under_norm_updates():
     for _ in range(3):
         tr.state, m = tr._epoch_jit(tr.state)
         assert float(m["kl"]) < 1e-3, float(m["kl"])
+
+
+def test_rnn_ratio_one_with_mid_chunk_dones():
+    """Same ratio-starts-at-1 property when episodes END INSIDE seq
+    chunks: the BPTT replay must reset hidden at done steps exactly like
+    the rollout did. Regression (r4): without the mid-chunk reset every
+    chunk containing a done replayed from a diverged hidden state,
+    producing an irreducible KL floor ~0.03 that pinned the adaptive LR
+    at lr_min for the whole ShadowHandOpenAI_LSTM run."""
+    env = _cartpole_with_states(16)
+    env.task.max_episode_length = 5  # dones inside most 4-step chunks
+    cfg = PPOConfig(
+        horizon_length=16, minibatch_size=64, mini_epochs=2,
+        units=(16,), rnn="lstm", rnn_units=16, seq_len=4,
+        normalize_input=True, learning_rate=1e-15, lr_schedule="fixed",
+    )
+    tr = PPOTrainer(env, cfg, seed=0)
+    for _ in range(3):
+        tr.state, m = tr._epoch_jit(tr.state)
+        assert float(m["kl"]) < 1e-3, float(m["kl"])
