@@ -37,18 +37,27 @@ def timeit(fn, *args, n=5, warmup=2):
 
 
 def matmul_bench():
+    # chain 32 dependent matmuls per timed call so the measurement is not
+    # dominated by dispatch latency and cannot be constant-folded
+    CH = 32
     for m, k, n in [(4096, 1536, 4096), (8192, 1536, 4096)]:
-        a = jnp.ones((m, k), jnp.float32)
-        b = jnp.ones((k, n), jnp.float32)
-        f = jax.jit(lambda a, b: a @ b)
+        assert k <= n
+
+        def chain(a, b):
+            for _ in range(CH):
+                a = (a @ b)[:, :k] * 0.5
+            return a
+
+        f = jax.jit(chain)
+        key = jax.random.PRNGKey(0)
+        a = jax.random.normal(key, (m, k), jnp.float32)
+        b = jax.random.normal(key, (k, n), jnp.float32)
+        fl = 2 * m * k * n * CH
         dt, _ = timeit(f, a, b)
-        fl = 2 * m * k * n
-        print(f"matmul f32 {m}x{k}x{n}: {dt*1e3:.2f} ms "
+        print(f"matmul f32 {m}x{k}x{n}: {dt/CH*1e3:.3f} ms/mm "
               f"{fl/dt/1e12:.1f} TFLOP/s")
-        ab = a.astype(jnp.bfloat16)
-        bb = b.astype(jnp.bfloat16)
-        dt, _ = timeit(f, ab, bb)
-        print(f"matmul bf16 {m}x{k}x{n}: {dt*1e3:.2f} ms "
+        dt, _ = timeit(f, a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+        print(f"matmul bf16 {m}x{k}x{n}: {dt/CH*1e3:.3f} ms/mm "
               f"{fl/dt/1e12:.1f} TFLOP/s")
 
 
@@ -94,6 +103,7 @@ def main():
     if trainer.is_rnn:
         skip = hid_keys | {"reward", "done", "states"}
         dataset = {k: to_seq(v) for k, v in traj.items() if k not in skip}
+        dataset["done"] = to_seq(traj["done"])
         for k in ("hidden_h", "hidden_c"):
             dataset[k] = hid_start(traj[k])
         num_slices = N * nch
@@ -114,6 +124,7 @@ def main():
                           .reshape((T * N,) + traj[k].shape[2:]))
                       for k in ("states", "value", "ret")}
         if trainer.is_cv_rnn:
+            cv_dataset["done"] = dataset["done"]
             for k in ("cv_hidden_h", "cv_hidden_c"):
                 cv_dataset[k] = hid_start(traj[k])
         cv_up = jax.jit(lambda ts, ds: trainer._cv_update(ts, ds, num_slices))
