@@ -39,6 +39,118 @@ from omniisaacgymenvs_tpu.learn.networks import (
 from omniisaacgymenvs_tpu.learn.running_norm import RunningNorm
 
 
+_LEGACY_GATES = ("i", "f", "g", "o")  # flax LSTMCell gate order
+
+
+def _is_legacy_cell(v):
+    return isinstance(v, dict) and all(
+        f"{s}{g}" in v for s in ("i", "h") for g in _LEGACY_GATES
+    )
+
+
+def _upgrade_legacy_lstm(tree):
+    """Convert r1-r4 checkpoints (flax OptimizedLSTMCell per-gate kernels +
+    auto-named Dense_i/LayerNorm_0 trunk) to the fused LSTMCore layout
+    (networks.py): wx = concat of the 4 input kernels, wh(+bias) = concat
+    of the 4 recurrent kernels; trunk renamed mlp_i/mu/value/ln. Applied
+    recursively so Adam moments inside opt_state convert too (the moment
+    of a concat is the concat of the moments)."""
+    import numpy as np
+
+    def conv_cell(cell):
+        wx = np.concatenate(
+            [np.asarray(cell[f"i{g}"]["kernel"]) for g in _LEGACY_GATES],
+            axis=1,
+        )
+        wh = np.concatenate(
+            [np.asarray(cell[f"h{g}"]["kernel"]) for g in _LEGACY_GATES],
+            axis=1,
+        )
+        b = np.concatenate(
+            [np.asarray(cell[f"h{g}"]["bias"]) for g in _LEGACY_GATES]
+        )
+        return {"wx": {"kernel": wx}, "wh": {"kernel": wh, "bias": b}}
+
+    def walk(d):
+        if isinstance(d, dict):
+            if "lstm" in d and _is_legacy_cell(d["lstm"]):
+                out = {"lstm": conv_cell(d["lstm"])}
+                dense = sorted(
+                    (k for k in d if k.startswith("Dense_")),
+                    key=lambda s: int(s.split("_")[1]),
+                )
+                n_heads = 2 if "log_std" in d else 1  # actor: mu+value
+                for i, k in enumerate(dense[: len(dense) - n_heads]):
+                    out[f"mlp_{i}"] = d[k]
+                if dense:
+                    if n_heads == 2:
+                        out["mu"] = d[dense[-2]]
+                        out["log_std"] = d["log_std"]
+                    out["value"] = d[dense[-1]]
+                if "LayerNorm_0" in d:
+                    out["ln"] = d["LayerNorm_0"]
+                return out
+            return {k: walk(v) for k, v in d.items()}
+        if isinstance(d, tuple) and hasattr(d, "_fields"):  # NamedTuple
+            return type(d)(*(walk(v) for v in d))
+        if isinstance(d, (tuple, list)):
+            return type(d)(walk(v) for v in d)
+        return d
+
+    return walk(tree)
+
+
+def _downgrade_lstm_target(tree):
+    """Inverse of _upgrade_legacy_lstm on a TEMPLATE pytree: produce the
+    r1-r4 param structure (matching shapes/dtypes, from splitting the
+    fused kernels) so orbax can restore an old checkpoint into it."""
+    import numpy as np
+
+    def split_cell(cell):
+        wx = np.asarray(cell["wx"]["kernel"])
+        wh = np.asarray(cell["wh"]["kernel"])
+        b = np.asarray(cell["wh"]["bias"])
+        h = wh.shape[0]
+        out = {}
+        for i, g in enumerate(_LEGACY_GATES):
+            out[f"i{g}"] = {"kernel": wx[:, i * h:(i + 1) * h]}
+            out[f"h{g}"] = {
+                "kernel": wh[:, i * h:(i + 1) * h],
+                "bias": b[i * h:(i + 1) * h],
+            }
+        return out
+
+    def walk(d):
+        if isinstance(d, dict):
+            if "lstm" in d and isinstance(d["lstm"], dict) \
+                    and "wx" in d["lstm"]:
+                out = {"lstm": split_cell(d["lstm"])}
+                mlp = sorted(
+                    (k for k in d if k.startswith("mlp_")),
+                    key=lambda s: int(s.split("_")[1]),
+                )
+                n = 0
+                for k in mlp:
+                    out[f"Dense_{n}"] = d[k]
+                    n += 1
+                if "mu" in d:
+                    out[f"Dense_{n}"] = d["mu"]
+                    n += 1
+                    out["log_std"] = d["log_std"]
+                out[f"Dense_{n}"] = d["value"]
+                if "ln" in d:
+                    out["LayerNorm_0"] = d["ln"]
+                return out
+            return {k: walk(v) for k, v in d.items()}
+        if isinstance(d, tuple) and hasattr(d, "_fields"):
+            return type(d)(*(walk(v) for v in d))
+        if isinstance(d, (tuple, list)):
+            return type(d)(walk(v) for v in d)
+        return d
+
+    return walk(tree)
+
+
 @dataclasses.dataclass
 class PPOConfig:
     """Mirrors the rl_games config block of cfg/train/*PPO.yaml."""
@@ -327,12 +439,6 @@ class PPOTrainer:
                 reward=shaped,
                 done=es2.done,
             )
-            if self.is_rnn:
-                out["hidden_h"] = hidden[0]
-                out["hidden_c"] = hidden[1]
-            if self.is_cv_rnn:
-                out["cv_hidden_h"] = cv_hidden[0]
-                out["cv_hidden_c"] = cv_hidden[1]
             return (
                 es2, rng, hidden_next, cv_hidden_next, ep_ret, ep_len,
                 fin_ret, fin_len, fin_cnt, task_stats,
@@ -343,10 +449,44 @@ class PPOTrainer:
             ts.es, k, ts.hidden, ts.cv_hidden, ts.ep_ret, ts.ep_len,
             0.0, 0.0, 0.0, ts.task_stats,
         )
+        if self.is_rnn:
+            # sequence-major rollout: scan chunks of seq_len steps and
+            # store the LSTM hidden ONLY at chunk starts — exactly what
+            # BPTT replays from. Stacking hidden on every step moved
+            # 4x the bytes (2 x 536 MB h/c per net at 8192 envs) to keep
+            # slices that to_seq immediately discarded
+            # (docs/performance.md recurrent-path profile, round-5 item).
+            seq = cfg.seq_len
+            nch = cfg.horizon_length // seq
+
+            def chunk(carry, _):
+                hidden0, cv_hidden0 = carry[2], carry[3]
+                carry, out = jax.lax.scan(body, carry, None, length=seq)
+                out["hidden_h"], out["hidden_c"] = hidden0
+                if self.is_cv_rnn:
+                    out["cv_hidden_h"], out["cv_hidden_c"] = cv_hidden0
+                return carry, out
+
+            final, traj = jax.lax.scan(chunk, init, None, length=nch)
+            hid_keys = {"hidden_h", "hidden_c", "cv_hidden_h", "cv_hidden_c"}
+            # flatten (nch, seq, N, ...) -> (T, N, ...): contiguous leading
+            # axes, a free bitcast; hidden fields stay (nch, N, units)
+            traj = {
+                k: (
+                    v
+                    if k in hid_keys
+                    else v.reshape((cfg.horizon_length,) + v.shape[2:])
+                )
+                for k, v in traj.items()
+            }
+        else:
+            final, traj = jax.lax.scan(
+                body, init, None, length=cfg.horizon_length
+            )
         (
             es, _, hidden, cv_hidden, ep_ret, ep_len, fin_ret, fin_len,
             fin_cnt, task_stats,
-        ), traj = jax.lax.scan(body, init, None, length=cfg.horizon_length)
+        ) = final
         # bootstrap value of the final state
         _, _, last_value, _, _ = self._policy(
             ts.params, ts, es.obs, es.states, hidden, cv_hidden
@@ -389,27 +529,16 @@ class PPOTrainer:
             else mb["obs"]
         )
         if self.is_rnn:
+            # fused-sequence BPTT (LSTMCore.seq): ONE x-projection matmul
+            # for all seq steps + LN/MLP/heads on the stacked outputs;
+            # only the recurrent matmul scans. Mirrors the rollout's
+            # episode-boundary hidden reset via mb["done"].
             hidden = (mb["hidden_h"], mb["hidden_c"])
-
-            def cell(hid, xt_dt):
-                xt, dt = xt_dt
-                mu, log_std, v, hid = self.net.apply(
-                    params["ac"], xt, hid
-                )
-                # mirror the rollout's episode-boundary hidden reset
-                hid = tuple(
-                    jnp.where(dt[:, None], jnp.zeros_like(h), h)
-                    for h in hid
-                )
-                return hid, (mu, jnp.broadcast_to(log_std, mu.shape), v)
-
-            _, (mu, log_std, v_pred_n) = jax.lax.scan(
-                cell, hidden,
-                (jnp.swapaxes(x, 0, 1), jnp.swapaxes(mb["done"], 0, 1)),
+            mu, log_std, v_pred_n = self.net.apply(
+                params["ac"], x, hidden, mb["done"],
+                method=type(self.net).seq,
             )
-            mu = jnp.swapaxes(mu, 0, 1)
-            log_std = jnp.swapaxes(log_std, 0, 1)
-            v_pred_n = jnp.swapaxes(v_pred_n, 0, 1)
+            log_std = jnp.broadcast_to(log_std, mu.shape)
         else:
             mu, log_std, v_pred_n = self.net.apply(params["ac"], x)
 
@@ -496,23 +625,13 @@ class PPOTrainer:
             else mb["states"]
         )
         if self.is_cv_rnn:
+            # fused-sequence BPTT (see _loss): one x-proj matmul + batched
+            # trunk, recurrent matmul only in the scan
             hidden = (mb["cv_hidden_h"], mb["cv_hidden_c"])
-
-            def cell(hid, xt_dt):
-                xt, dt = xt_dt
-                v, hid = self.cv_net.apply(cv_params, xt, hid)
-                # mirror the rollout's episode-boundary hidden reset
-                hid = tuple(
-                    jnp.where(dt[:, None], jnp.zeros_like(h), h)
-                    for h in hid
-                )
-                return hid, v
-
-            _, v_pred_n = jax.lax.scan(
-                cell, hidden,
-                (jnp.swapaxes(sx, 0, 1), jnp.swapaxes(mb["done"], 0, 1)),
+            v_pred_n = self.cv_net.apply(
+                cv_params, sx, hidden, mb["done"],
+                method=type(self.cv_net).seq,
             )
-            v_pred_n = jnp.swapaxes(v_pred_n, 0, 1)
         else:
             v_pred_n = self.cv_net.apply(cv_params, sx)
         return 0.5 * jnp.mean(
@@ -536,8 +655,13 @@ class PPOTrainer:
             mb_slices -= 1
         num_mb = num_slices // mb_slices
 
-        def mb_update(carry, mb):
+        def mb_update(carry, idx):
             cv_params, opt_state = carry
+            # gather ONLY this minibatch's rows (shuffle the slice INDICES,
+            # not the dataset: re-permuting the stored LSTM hidden — 2 x
+            # 134 MB at 8192 envs — every mini-epoch was pure HBM traffic,
+            # docs/performance.md recurrent-path profile)
+            mb = jax.tree.map(lambda x: x[idx], dataset)
             loss, grads = grad_fn(cv_params, mb, ts)
             gok = jnp.isfinite(optax.global_norm(grads))
             grads = jax.tree.map(
@@ -553,14 +677,8 @@ class PPOTrainer:
 
         def epoch_body(carry, key):
             perm = jax.random.permutation(key, num_slices)
-            shuffled = jax.tree.map(lambda x: x[perm], dataset)
-            mbs = jax.tree.map(
-                lambda x: x[: num_mb * mb_slices].reshape(
-                    (num_mb, mb_slices) + x.shape[1:]
-                ),
-                shuffled,
-            )
-            return jax.lax.scan(mb_update, carry, mbs)
+            idxs = perm[: num_mb * mb_slices].reshape(num_mb, mb_slices)
+            return jax.lax.scan(mb_update, carry, idxs)
 
         rng, *keys = jax.random.split(ts.rng, cfg.cv_mini_epochs + 1)
         (cv_params, cv_opt_state), losses = jax.lax.scan(
@@ -594,8 +712,10 @@ class PPOTrainer:
         cfg = self.cfg
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
 
-        def mb_update(carry, mb):
+        def mb_update(carry, idx):
             params, opt_state, lr = carry
+            # per-minibatch index gather — see _cv_update.mb_update
+            mb = jax.tree.map(lambda x: x[idx], dataset)
             (loss, aux), grads = grad_fn(params, mb, ts, advs_mean, advs_std)
             # non-finite-gradient guard: skip the update rather than poison
             # Adam state (a single exploded env would otherwise end training)
@@ -616,15 +736,9 @@ class PPOTrainer:
         def epoch_body(carry, key):
             params, opt_state, lr = carry
             perm = jax.random.permutation(key, num_slices)
-            shuffled = jax.tree.map(lambda x: x[perm], dataset)
-            mbs = jax.tree.map(
-                lambda x: x[: num_mb * mb_slices].reshape(
-                    (num_mb, mb_slices) + x.shape[1:]
-                ),
-                shuffled,
-            )
+            idxs = perm[: num_mb * mb_slices].reshape(num_mb, mb_slices)
             (params, opt_state, lr), aux = jax.lax.scan(
-                mb_update, (params, opt_state, lr), mbs
+                mb_update, (params, opt_state, lr), idxs
             )
             if cfg.lr_schedule == "adaptive" and cfg.schedule_type == "standard":
                 # rl_games schedule_type standard: one LR update per
@@ -670,8 +784,9 @@ class PPOTrainer:
                 return x.reshape((N * nch, seq) + x.shape[3:])
 
             def hid_start(x):
-                h = x.reshape((nch, seq, N, -1))[:, 0]
-                return jnp.moveaxis(h, 1, 0).reshape((N * nch, -1))
+                # rollout already stores hidden sequence-major: (nch, N, H)
+                # chunk-start states only
+                return jnp.moveaxis(x, 1, 0).reshape((N * nch, -1))
 
             skip = hid_keys | {"reward", "done", "states"}
             dataset = {
@@ -845,7 +960,23 @@ class PPOTrainer:
         restore_args = jax.tree.map(
             lambda _: ocp.RestoreArgs(restore_type=np.ndarray), target
         )
-        payload = ckptr.restore(path, item=target, restore_args=restore_args)
+        try:
+            payload = ckptr.restore(
+                path, item=target, restore_args=restore_args
+            )
+        except Exception:
+            if not self.is_rnn:
+                raise
+            # r1-r4 LSTM checkpoint (per-gate OptimizedLSTMCell + auto-named
+            # trunk): restore into the legacy-shaped template, then convert
+            # to the fused LSTMCore layout
+            legacy = _downgrade_lstm_target(target)
+            legacy_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray), legacy
+            )
+            payload = _upgrade_legacy_lstm(
+                ckptr.restore(path, item=legacy, restore_args=legacy_args)
+            )
         self.state = self.state.replace(**payload)
 
     # ------------------------------------------------------------------
@@ -885,6 +1016,29 @@ class PPOTrainer:
         history = []
         steps_per_epoch = self.cfg.horizon_length * self.env.num_envs
         best_reward = -float("inf")
+        # Resume support: a loaded checkpoint carries its epoch counter, so
+        # training continues from there instead of restarting at 0 (the
+        # reference's `checkpoint=` resume, README.md:82-103). Prior history
+        # rows (strictly before the resume epoch) are preserved so
+        # runs/<T>/history.json stays one continuous learning curve.
+        start_epoch = int(jax.device_get(self.state.epoch))
+        if start_epoch > 0 and history_path and os.path.exists(history_path):
+            try:
+                with open(history_path) as f:
+                    prior = json.load(f)
+                history = [m for m in prior if m.get("epoch", 0) < start_epoch]
+                past_best = [
+                    m["mean_ep_reward"]
+                    for m in history
+                    if m.get("epoch", 0) >= save_best_after
+                    and m.get("episodes", 1) > 0
+                ]
+                if past_best:
+                    best_reward = max(past_best)
+            except (json.JSONDecodeError, OSError):
+                pass
+        if start_epoch > 0 and log_fn:
+            log_fn(f"resuming at epoch {start_epoch} ({len(history)} prior rows)")
         K = max(1, int(epochs_per_jit))
         chunk_jits = {1: self._epoch_jit}
 
@@ -902,7 +1056,7 @@ class PPOTrainer:
         profile_stop = profile_start + profile_epochs - 1
         prof_started = prof_stopped = False
         t_log = time.time()
-        epoch = 0
+        epoch = start_epoch
         stop = False
         while epoch < max_epochs and not stop:
             k = min(K, max_epochs - epoch)

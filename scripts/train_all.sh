@@ -21,12 +21,13 @@ fi
 # the wrapper below kills a run with no log growth for WATCHDOG_S seconds.
 run_one() {
   local t="$1" log="runs/logs/$1.log"
+  shift
   # setsid: run in its own process group so the watchdog can kill the WHOLE
   # group (timeout wrapper + python trainer). SIGKILLing only the wrapper
   # would orphan a trainer stuck in an uninterruptible device call — the
   # exact scenario the watchdog exists for — leaving it holding the TPU.
   setsid timeout "${TASK_TIMEOUT:-5400}" python -u -m omniisaacgymenvs_tpu.scripts.train \
-    task="$t" experiment="$t" > "$log" 2>&1 &
+    task="$t" experiment="$t" "$@" > "$log" 2>&1 &
   local pid=$!
   local last_size=0 idle=0
   while kill -0 "$pid" 2>/dev/null; do
@@ -50,17 +51,34 @@ run_one() {
 
 for t in "${TASKS[@]}"; do
   echo "=== training $t ($(date -u +%H:%M:%S)) ==="
-  run_one "$t"
-  rc=$?
-  # rc=124 is the intentional TASK_TIMEOUT cap (checkpoints + history are
-  # already on disk) — don't retry those
-  if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
-    echo "=== $t rc=$rc; retrying once ($(date -u +%H:%M:%S)) ==="
-    sleep 10
-    mv "runs/logs/$t.log" "runs/logs/$t.try1.log" 2>/dev/null
+  # RESUME=1: continue an interrupted campaign from runs/<t>/nn/last on the
+  # FIRST attempt too (default: first attempt starts fresh).
+  if [ "${RESUME:-0}" = "1" ] && [ -d "runs/$t/nn/last" ]; then
+    run_one "$t" "checkpoint=runs/$t/nn/last"
+  else
     run_one "$t"
-    rc=$?
   fi
+  rc=$?
+  # Watchdog/wedge retries RESUME, never restart: the trainer checkpoints
+  # runs/<T>/nn/last every save_frequency epochs and `checkpoint=` continues
+  # from the saved epoch with a continuous history.json (learn/ppo.py
+  # train() start_epoch) — a wedge at epoch 5539/10000 must not cost 5539
+  # epochs (the round-4 FF casualty). rc=124 is the intentional
+  # TASK_TIMEOUT cap (checkpoints + history already on disk) — not retried.
+  try=0
+  while [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ] && [ "$try" -lt "${MAX_RETRIES:-1}" ]; do
+    try=$((try + 1))
+    echo "=== $t rc=$rc; retry $try/${MAX_RETRIES:-1} ($(date -u +%H:%M:%S)) ==="
+    sleep 10
+    mv "runs/logs/$t.log" "runs/logs/$t.try$try.log" 2>/dev/null
+    if [ -d "runs/$t/nn/last" ]; then
+      echo "=== resuming $t from runs/$t/nn/last ==="
+      run_one "$t" "checkpoint=runs/$t/nn/last"
+    else
+      run_one "$t"
+    fi
+    rc=$?
+  done
   echo "=== $t done rc=$rc ($(date -u +%H:%M:%S)) ==="
   tail -3 "runs/logs/$t.log"
   sleep 5

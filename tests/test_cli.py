@@ -44,9 +44,16 @@ def test_train_cli_end_to_end(tmp_path, monkeypatch):
     assert "last" in ckpts
 
     # resume from the checkpoint (reference checkpoint= arg) and eval
-    # (reference test=True path)
-    train.main(CLI + ["max_iterations=2", "experiment=smoke2",
+    # (reference test=True path). max_iterations is the ABSOLUTE epoch
+    # budget (rl_games semantics): resuming from epoch 4 with budget 6 runs
+    # exactly 2 more epochs, numbered 4 and 5.
+    train.main(CLI + ["max_iterations=6", "experiment=smoke2",
                       f"checkpoint={run_dir / 'nn' / 'last'}"])
+    import json
+
+    with open(tmp_path / "runs" / "smoke2" / "history.json") as f:
+        hist = json.load(f)
+    assert [m["epoch"] for m in hist] == [4, 5]
     train.main(CLI + ["test=True",
                       f"checkpoint={run_dir / 'nn' / 'last'}"])
 

@@ -122,6 +122,47 @@ def test_chunked_epochs_match_single():
         assert abs(a["kl"] - b["kl"]) < 1e-3
 
 
+def test_killed_run_resumes_from_checkpoint_epoch(tmp_path):
+    """A run killed mid-campaign and retried with checkpoint=nn/last must
+    CONTINUE from its saved epoch with one continuous history.json — not
+    restart from epoch 0 (the round-4 FF casualty: a wedge at epoch
+    5539/10000 retried from scratch)."""
+    import json
+    import os
+
+    def make():
+        env = VecEnv(get_task("Cartpole"), 16)
+        cfg = PPOConfig(
+            horizon_length=16, minibatch_size=256, mini_epochs=2,
+            reward_shaper_scale=0.1, units=(32, 32),
+        )
+        return PPOTrainer(env, cfg, seed=11)
+
+    save_dir = str(tmp_path / "nn")
+    hist_path = str(tmp_path / "history.json")
+    # "first attempt": 6 epochs, checkpointing every 2
+    tr = make()
+    tr.train(
+        max_epochs=6, log_every=1, log_fn=None, save_dir=save_dir,
+        save_frequency=2, save_best_after=100, history_path=hist_path,
+    )
+    # "retry after kill": fresh process -> fresh trainer + load last
+    tr2 = make()
+    tr2.load(os.path.join(save_dir, "last"))
+    assert int(tr2.state.epoch) == 6
+    h = tr2.train(
+        max_epochs=10, log_every=1, log_fn=None, save_dir=save_dir,
+        save_frequency=2, save_best_after=100, history_path=hist_path,
+    )
+    # returned history = prior rows + new rows, continuously numbered
+    assert [m["epoch"] for m in h] == list(range(10))
+    with open(hist_path) as f:
+        on_disk = json.load(f)
+    assert [m["epoch"] for m in on_disk] == list(range(10))
+    # env_steps stays the absolute cumulative count
+    assert on_disk[-1]["env_steps"] == 10 * 16 * 16
+
+
 def test_episode_score_window_persists_across_empty_epochs():
     """mean_ep_reward must report the running mean of recently completed
     episodes (rl_games AverageMeter games_to_track=100), NOT drop to 0 on
