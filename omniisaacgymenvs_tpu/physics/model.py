@@ -347,6 +347,17 @@ class ModelBuilder:
         get_force_sensor_forces, tasks/shared/locomotion.py:89)."""
         self._sensors.append(body)
 
+    @property
+    def dof_names(self) -> List[str]:
+        """Names of the 1-dof (revolute/prismatic) joint bodies in
+        topological order — the names set_drive accepts (mirrors the
+        finalized Model's dof ordering)."""
+        return [
+            b.name
+            for b in self._bodies
+            if b.jtype in (JointType.REVOLUTE, JointType.PRISMATIC)
+        ]
+
     def set_drive(
         self,
         dof_name: str,

@@ -69,13 +69,8 @@ class CustomRobotTask(RLTask):
         drive.setdefault("stiffness", 40.0)
         drive.setdefault("damping", 2.0)
         drive.setdefault("max_effort", 100.0)
-        for dof_name in list(getattr(builder, "dof_names", [])) or [
-            b.name for b in builder._bodies if b.parent != -1
-        ]:
-            try:
-                builder.set_drive(dof_name, **drive)
-            except KeyError:
-                pass
+        for dof_name in builder.dof_names:
+            builder.set_drive(dof_name, **drive)
         self.model = builder.finalize()
         self.engine = PhysicsEngine(
             self.model,
@@ -88,9 +83,15 @@ class CustomRobotTask(RLTask):
         m = self.model
         if m.njd == 0:
             raise ValueError(f"{robot}: imported model has no driven dofs")
+        self.floating = bool(floating)
+        # base fall termination height for floating-base robots (reference
+        # locomotion-style fallen-over check, tasks/anymal.py:283)
+        self.termination_height = env_cfg.get("terminationHeight", 0.2)
         self.num_actions = int(m.njd)
-        # obs: [dof_pos_scaled, dof_vel*scale, target_scaled]
-        self.num_obs = 3 * int(m.njd)
+        # obs: [dof_pos_scaled, dof_vel*scale, target_scaled]; floating-base
+        # robots additionally observe their base state
+        # [z, quat(4), lin_vel*scale, ang_vel*scale] (11)
+        self.num_obs = 3 * int(m.njd) + (11 if self.floating else 0)
         # unbounded (continuous) joints get a +-pi target window
         lo = jnp.maximum(m.dof_limit_lower, -jnp.pi)
         hi = jnp.minimum(m.dof_limit_upper, jnp.pi)
@@ -125,12 +126,20 @@ class CustomRobotTask(RLTask):
         m = self.model
         dof_pos = phys.q[jnp.asarray(m.jq_idx)]
         dof_vel = phys.qd[jnp.asarray(m.jv_idx)]
-        obs = jnp.concatenate([
+        parts = [
             rot.unscale(dof_pos, self._tgt_lo, self._tgt_hi),
             self.vel_obs_scale * dof_vel,
             rot.unscale(carry["target"], self._tgt_lo, self._tgt_hi),
-        ])
-        return obs, jnp.zeros(0), carry
+        ]
+        if self.floating:
+            # base state (free root: q[0:3] pos, q[3:7] wxyz quat; body 0
+            # world velocities — same access pattern as
+            # tasks/shared/locomotion.py observe)
+            parts.append(phys.q[2:3])
+            parts.append(phys.q[3:7])
+            parts.append(self.vel_obs_scale * phys.body_lvel[0])
+            parts.append(self.vel_obs_scale * phys.body_avel[0])
+        return jnp.concatenate(parts), jnp.zeros(0), carry
 
     def reward_done(self, obs, action, phys, carry, progress):
         m = self.model
@@ -144,4 +153,10 @@ class CustomRobotTask(RLTask):
             - self.action_penalty_scale * jnp.sum(action**2)
         )
         done = progress >= self.max_episode_length - 1
+        if self.floating:
+            # fallen-base termination (docstring contract; reference
+            # locomotion fallen-over semantics, tasks/anymal.py:283)
+            fallen = phys.q[2] < self.termination_height
+            reward = jnp.where(fallen, -1.0, reward)
+            done = done | fallen
         return reward, done, carry, dict()

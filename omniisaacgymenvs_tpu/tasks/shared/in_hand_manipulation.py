@@ -166,8 +166,13 @@ class InHandManipulationTask(RLTask):
         goal_rot = randomize_rotation(goal_rand[0], goal_rand[1])
 
         # hand dofs: default + noise * interval-scaled random delta, deltas
-        # measured from the default pose (reference
-        # in_hand_manipulation.py:312-317)
+        # measured from the default pose. DEVIATION from the cited OIGE
+        # formula (reference in_hand_manipulation.py:312-317 multiplies
+        # rand in [-1,1] by (delta_max - delta_min) directly): this remaps
+        # rand to [0,1] first so the delta lands INSIDE [delta_min,
+        # delta_max] — the IsaacGymEnvs form of the same reset, kept
+        # deliberately because the literal OIGE expression can overshoot
+        # the joint interval before the clip
         rand_dofs = jax.random.uniform(k[3], (nhd,), minval=-1.0, maxval=1.0)
         dof_default = m.default_q[jnp.asarray(m.jq_idx)]
         delta_max = m.dof_limit_upper - dof_default

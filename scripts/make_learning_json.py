@@ -24,6 +24,10 @@ TASKS = {
     "BallBalance", "FrankaCabinet", "Ingenuity", "Quadcopter", "Crazyflie",
     "AllegroHand", "ShadowHand", "ShadowHandOpenAI_FF",
     "ShadowHandOpenAI_LSTM",
+    # the reference's recommended DR-at-scale configuration (16384 envs,
+    # full DR: /root/reference docs/rl_examples.md:123) tracked as its own
+    # campaign row
+    "ShadowHand_DR",
 }
 
 
@@ -57,8 +61,7 @@ def summarize(task: str, hist: list) -> dict:
     return out
 
 
-def main():
-    run_dirs = sys.argv[1:] or ["results", "runs"]
+def build(run_dirs=("results", "runs")) -> dict:
     rows = {}
     for rd in run_dirs:
         if not os.path.isdir(rd):
@@ -77,7 +80,11 @@ def main():
             # keep the longer (more-trained) record when both dirs have one
             if task not in rows or row["epochs"] > rows[task]["epochs"]:
                 rows[task] = row
-    print(json.dumps(dict(sorted(rows.items())), indent=2))
+    return dict(sorted(rows.items()))
+
+
+def main():
+    print(json.dumps(build(sys.argv[1:] or ("results", "runs")), indent=2))
 
 
 if __name__ == "__main__":

@@ -56,3 +56,32 @@ def test_custom_task_learns(tmp_path, monkeypatch):
     history = json.load(open(hist_path))  # list of per-epoch metric rows
     final = history[-1]["mean_ep_reward"]
     assert final > 20.0, f"imported robot did not learn: {final}"
+
+
+def test_custom_floating_base_obs_and_fall_termination():
+    """floatingBase=True must deliver the documented base observability
+    (11 extra dims: z, quat, lin/ang vel) and fallen-base termination
+    (advisor r4: the flag previously changed neither)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from omniisaacgymenvs_tpu.envs import VecEnv
+    from omniisaacgymenvs_tpu.tasks import get_task
+
+    task = get_task(
+        "Custom",
+        {"env": {"robot": EXAMPLE, "episodeLength": 200,
+                 "floatingBase": True, "terminationHeight": 0.2}},
+    )
+    assert task.num_obs == 6 + 11
+    env = VecEnv(task, 4)
+    es = env.reset(seed=0)
+    # free-falling base (no ground plane under the imported pendulum)
+    # must cross the termination height and reset well before the
+    # episode time limit
+    done_seen = False
+    for _ in range(60):
+        es = env.step(es, jnp.zeros((4, task.num_actions)))
+        assert np.all(np.isfinite(np.asarray(es.obs)))
+        done_seen = done_seen or bool(np.any(np.asarray(es.done)))
+    assert done_seen
