@@ -70,17 +70,22 @@ class PhysicsEngine:
         params: SimParams,
         height_fn: Optional[Callable] = None,
         contact_plane_fn: Optional[Callable] = None,
+        plane_refresh: bool = False,
     ):
         """height_fn(x, y) -> (h, n): terrain as a height function.
         contact_plane_fn(pt, radius) -> (n, d): general per-point contact
         plane (unit normal n, offset d, penetration = radius - (n.pt - d))
         — supports vertical features (stair risers) height_fn cannot
         express; when given it takes precedence for contact forces and
-        height_fn (if any) is only a fallback."""
+        height_fn (if any) is only a fallback.
+        plane_refresh: re-evaluate contact_plane_fn before EVERY substep on
+        the fused path (faithful stair-edge behavior) instead of freezing
+        the control-step-start planes."""
         self.model = model
         self.params = params
         self.height_fn = height_fn
         self.contact_plane_fn = contact_plane_fn
+        self.plane_refresh = bool(plane_refresh)
         self._gravity = jnp.asarray(params.gravity, jnp.float32)
         self.contact_params = (
             params.contact
@@ -456,6 +461,35 @@ class PhysicsEngine:
             # kernel variant is specialized per overlay key-set
             dr_keys = tuple(sorted(overlay)) if overlay else ()
             dr_vals = tuple(overlay[k] for k in dr_keys)
+            if self.plane_refresh and self.contact_plane_fn is not None:
+                # per-substep contact-plane refresh: re-select the local
+                # terrain feature (tread vs riser wall) from the CURRENT
+                # contact-point positions before every substep, instead of
+                # freezing the control-step-start planes over all
+                # substeps x decimation. Matters exactly where the feature
+                # CHANGES under the foot — stair edges: a foot crossing a
+                # cell boundary mid-control-step otherwise keeps a stale
+                # plane for up to decimation x dt (20 ms at AnymalTerrain's
+                # rates, ~2 cm of travel vs a 2.5 cm riser margin).
+                step1 = self._get_fused_step_cv(1, dr_keys)
+
+                def body(st, _):
+                    q, qd, sf, pos, quat, avel, lvel = step1(
+                        st.q, st.qd, control.effort, control.pos_target,
+                        control.vel_target, f_applied,
+                        self._contact_planes(st), *dr_vals,
+                    )
+                    return State(
+                        q=q, qd=qd, body_pos=pos, body_quat=quat,
+                        body_lvel=lvel, body_avel=avel, sensor_forces=sf,
+                    ), None
+
+                # final state carries the LAST substep's sensor forces —
+                # same convention as the unfused scan below
+                state, _ = jax.lax.scan(
+                    body, state, None, length=n * self.params.substeps
+                )
+                return state
             q, qd, sf, pos, quat, avel, lvel = self._get_fused_step_cv(
                 n * self.params.substeps, dr_keys
             )(

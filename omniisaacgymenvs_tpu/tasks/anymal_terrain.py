@@ -167,6 +167,16 @@ class AnymalTerrainTask(RLTask):
         # terrain.riserWalls=True for the faithful-wall model (r5 tuning
         # item: wall top margin / per-substep plane refresh).
         self._riser_walls = bool(terrain_cfg.get("riserWalls", False))
+        # wall-top grazing margin in meters; None/'auto' = per-point
+        # contact radius (see _contact_plane_fn edge contacts)
+        wm = terrain_cfg.get("riserWallMargin", None)
+        self._wall_margin = None if wm in (None, "auto") else float(wm)
+        # per-substep contact-plane refresh (engine plane_refresh): follows
+        # riserWalls by default — the stale-plane error is what makes
+        # frozen walls harsh at edges
+        self._plane_refresh = bool(
+            terrain_cfg.get("planeRefresh", self._riser_walls)
+        )
         self._hs = self.terrain.horizontal_scale
         self._border = self.terrain.border_size
         self._origins = jnp.asarray(self.terrain.env_origins, jnp.float32)
@@ -189,6 +199,7 @@ class AnymalTerrainTask(RLTask):
                 gravity=(0.0, 0.0, -9.81),
             ),
             contact_plane_fn=self._contact_plane_fn,
+            plane_refresh=self._plane_refresh,
         )
         self.default_dof_pos = self.model.default_q[self.model.jq0:]
         self._knee_bodies = jnp.asarray(
@@ -267,14 +278,26 @@ class AnymalTerrainTask(RLTask):
                 jnp.where(sel, d, bd),
             )
 
+        # wall-top grazing margin: within `mg` of the riser TOP the contact
+        # resolves to the step EDGE (rounded corner), not the wall face —
+        # the r4 walls pushed a foot placed on the very edge straight back
+        # horizontally, which un-learned edge stepping (terrain_level 4.46
+        # walls vs 5.58 tread-only). The reference trimesh's corner vertex
+        # produces exactly this corner reaction. Default margin = contact
+        # radius (the geometric capture range of a sphere on the corner).
+        mg = (
+            radius
+            if self._wall_margin is None
+            else jnp.full_like(h, self._wall_margin)
+        )
         # (neighbor height, boundary coord, wall normal, coordinate value)
         walls = [
             # higher-neighbor walls: push back toward own (low) cell,
-            # active below the neighbor's tread level
-            (hxp, bx1, (-one, zero, zero), x, hxp - h > lim, z < hxp),
-            (hxn, bx0, (one, zero, zero), x, hxn - h > lim, z < hxn),
-            (hyp, by1, (zero, -one, zero), y, hyp - h > lim, z < hyp),
-            (hyn, by0, (zero, one, zero), y, hyn - h > lim, z < hyn),
+            # active below the neighbor's tread level minus the margin
+            (hxp, bx1, (-one, zero, zero), x, hxp - h > lim, z < hxp - mg),
+            (hxn, bx0, (one, zero, zero), x, hxn - h > lim, z < hxn - mg),
+            (hyp, by1, (zero, -one, zero), y, hyp - h > lim, z < hyp - mg),
+            (hyn, by0, (zero, one, zero), y, hyn - h > lim, z < hyn - mg),
             # drop-edge walls: a point burrowed under its OWN tread next to
             # a lower neighbor crossed the riser from the low side — push it
             # back out toward the low side
@@ -287,15 +310,40 @@ class AnymalTerrainTask(RLTask):
             (hyn, by0, (zero, -one, zero), y, h - hyn > lim,
              (z < h) & (z > hyn)),
         ]
+        # step-edge (corner) contacts: sphere-vs-horizontal-edge along the
+        # riser top, active in the grazing band z > h_neighbor - mg. The
+        # normal tilts from horizontal (low on the face) to vertical (on
+        # the tread) exactly like a trimesh corner, so a climbing foot gets
+        # SUPPORT it can load instead of a flat push-back.
+        edges = [
+            (hxp, bx1, x, 0, hxp - h > lim),
+            (hxn, bx0, x, 0, hxn - h > lim),
+            (hyp, by1, y, 1, hyp - h > lim),
+            (hyn, by0, y, 1, hyn - h > lim),
+        ]
         best = (best_pen, best_n, best_d)
         if not self._riser_walls:
             walls = []
+            edges = []
         for _, b, nw, coord, is_wall, in_span in walls:
             n = jnp.stack(nw, axis=-1)
             # plane: n . p = d with d = +-b along the wall axis
             d = n[..., 0] * b + n[..., 1] * b  # one term is zero
             pen = radius - (jnp.sum(pt * n, axis=-1) - d)
             best = fold(best, (pen, n, d, is_wall & in_span))
+        for hn, b, coord, axis, is_wall in edges:
+            dc = coord - b            # horizontal offset from the edge line
+            dz = z - hn               # vertical offset from the riser top
+            dist = jnp.maximum(jnp.sqrt(dc * dc + dz * dz), 1e-6)
+            nc = dc / dist
+            nz = dz / dist
+            if axis == 0:
+                n = jnp.stack([nc, zero, nz], axis=-1)
+            else:
+                n = jnp.stack([zero, nc, nz], axis=-1)
+            d = n[..., axis] * b + n[..., 2] * hn
+            pen = radius - dist
+            best = fold(best, (pen, n, d, is_wall & (z > hn - mg)))
         _, n, d = best
         return n, d
 

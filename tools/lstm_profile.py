@@ -62,6 +62,12 @@ def matmul_bench():
 
 
 def main():
+    if "--cpu" in _sys.argv:  # correctness smoke off the TPU
+        _sys.argv.remove("--cpu")
+        jax.config.update("jax_platforms", "cpu")
+        from jax.extend.backend import clear_backends
+
+        clear_backends()
     n_envs = int(_sys.argv[1]) if len(_sys.argv) > 1 else 8192
     name = _sys.argv[2] if len(_sys.argv) > 2 else "ShadowHandOpenAI_LSTM"
     matmul_bench()
@@ -96,8 +102,8 @@ def main():
         return x.reshape((N * nch, seq) + x.shape[3:])
 
     def hid_start(x):
-        h = x.reshape((nch, seq, N, -1))[:, 0]
-        return jnp.moveaxis(h, 1, 0).reshape((N * nch, -1))
+        # r5 rollout stores hidden sequence-major: (nch, N, H) chunk starts
+        return jnp.moveaxis(x, 1, 0).reshape((N * nch, -1))
 
     hid_keys = {"hidden_h", "hidden_c", "cv_hidden_h", "cv_hidden_c"}
     if trainer.is_rnn:
