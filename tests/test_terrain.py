@@ -125,3 +125,47 @@ def test_contact_planes_tread_and_riser():
     # penetration through the wall = radius - (bx1 - x) = 0.03 - 0.01
     pen = radius[1] - (np.dot(n[1], np.asarray(pts[1])) - d[1])
     np.testing.assert_allclose(pen, 0.02, atol=1e-5)
+
+
+def test_contact_corner_capture_at_riser_top():
+    """r5 wall-top grazing margin: within the contact radius of the riser
+    TOP the selected feature is the step EDGE (sphere-vs-corner normal
+    tilting from horizontal toward vertical), not the flat wall — so a
+    climbing foot gets loadable support (r4: walls-on trained to 4.46 vs
+    5.58 tread-only because edge placements were pushed straight back)."""
+    task = get_task("AnymalTerrain", {
+        "env": {"terrain": {"numLevels": 3, "numTerrains": 4,
+                            "mapLength": 4.0, "mapWidth": 4.0,
+                            "borderSize": 4.0, "riserWalls": True}}})
+    hf = np.asarray(task._hf)[:-1, :-1]
+    hs = task._hs
+    lim = task._slope_lim_h
+    dx = np.concatenate([hf[1:], hf[-1:]], axis=0) - hf
+    steep = dx > lim
+    cx, cy = np.argwhere(steep)[0]
+    h_low, h_high = hf[cx, cy], hf[cx + 1, cy]
+    bx1 = (cx + 1) * hs - task._border
+    y_mid = cy * hs - task._border + 0.5 * hs
+    r = 0.03
+    radius = jnp.full((3,), r)
+    pts = jnp.asarray([
+        # (a) grazing the corner from the low side just below the top:
+        # sphere-vs-edge normal (tilted push-back, gentler than the flat
+        # wall's full horizontal shove at the same depth)
+        [bx1 - 0.02, y_mid, h_high - 0.01],
+        # (b) centered above the corner: near-vertical SUPPORT — the lip
+        # placement the r4 flat-wall model left contactless (a foot on
+        # the step lip fell past it until it hit the lower tread)
+        [bx1 - 0.005, y_mid, h_high + 0.02],
+        # (c) deep below the top at the wall: still the flat riser wall
+        [bx1 - 0.01, y_mid, h_high - 3 * r],
+    ], jnp.float32)
+    n, d = task._contact_plane_fn(pts, radius)
+    n = np.asarray(n)
+    # (a) corner normal: push-back dominated, tilted (not a pure wall)
+    assert n[0, 0] < -0.5, f"corner normal has no push-back: {n[0]}"
+    assert abs(n[0, 2]) > 0.2, f"expected a tilted corner normal: {n[0]}"
+    # (b) mostly vertical support on the lip
+    assert n[1, 2] > 0.8, f"expected near-vertical corner normal: {n[1]}"
+    # (c) flat wall far below the margin band
+    assert n[2, 0] < -0.9 and abs(n[2, 2]) < 0.1, f"expected wall: {n[2]}"
