@@ -157,8 +157,9 @@ def test_contact_corner_capture_at_riser_top():
         # placement the r4 flat-wall model left contactless (a foot on
         # the step lip fell past it until it hit the lower tread)
         [bx1 - 0.005, y_mid, h_high + 0.02],
-        # (c) deep below the top at the wall: still the flat riser wall
-        [bx1 - 0.01, y_mid, h_high - 3 * r],
+        # (c) mid-riser at the wall (below the margin band, above the
+        # floor's capture radius): still the flat riser wall
+        [bx1 - 0.01, y_mid, (h_low + h_high) / 2.0],
     ], jnp.float32)
     n, d = task._contact_plane_fn(pts, radius)
     n = np.asarray(n)
