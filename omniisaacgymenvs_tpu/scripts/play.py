@@ -38,7 +38,11 @@ def main(argv=None):
         seed=int(cfg["seed"]),
     )
     if cfg.get("checkpoint"):
-        trainer.load(cfg["checkpoint"])
+        from omniisaacgymenvs_tpu.utils.paths import retrieve_checkpoint_path
+
+        # remote checkpoints download once into checkpoints/ (reference
+        # utils/config_utils/path_utils.py:54-67)
+        trainer.load(retrieve_checkpoint_path(cfg["checkpoint"]))
         print(f"loaded checkpoint {cfg['checkpoint']}")
     else:
         print("no checkpoint given — playing the untrained policy")

@@ -89,7 +89,11 @@ def main(argv=None):
     trainer = PPOTrainer(env, PPOConfig(**kw), seed=int(cfg["seed"]))
 
     if cfg.get("checkpoint"):
-        trainer.load(cfg["checkpoint"])
+        from omniisaacgymenvs_tpu.utils.paths import retrieve_checkpoint_path
+
+        # remote checkpoints download once into checkpoints/ (reference
+        # utils/config_utils/path_utils.py:54-67)
+        trainer.load(retrieve_checkpoint_path(cfg["checkpoint"]))
         print(f"loaded checkpoint {cfg['checkpoint']}")
 
     experiment = cfg.get("experiment") or cfg["task_name"]
