@@ -675,16 +675,22 @@ class PPOTrainer:
             )
             return (cv_params, opt_state), jnp.nan_to_num(loss)
 
-        def epoch_body(carry, key):
-            perm = jax.random.permutation(key, num_slices)
-            idxs = perm[: num_mb * mb_slices].reshape(num_mb, mb_slices)
+        def epoch_body(carry, idxs):
             return jax.lax.scan(mb_update, carry, idxs)
 
         rng, *keys = jax.random.split(ts.rng, cfg.cv_mini_epochs + 1)
+        # all mini-epoch shuffles in ONE batched sort, hoisted out of the
+        # scan (see _update for why); bitwise-identical permutations
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, num_slices)
+        )(jnp.stack(keys))
+        all_idxs = perms[:, : num_mb * mb_slices].reshape(
+            cfg.cv_mini_epochs, num_mb, mb_slices
+        )
         (cv_params, cv_opt_state), losses = jax.lax.scan(
             epoch_body,
             (ts.cv_params, ts.cv_opt_state),
-            jnp.stack(keys),
+            all_idxs,
         )
         ts = ts.replace(
             cv_params=cv_params, cv_opt_state=cv_opt_state, rng=rng
@@ -733,10 +739,8 @@ class PPOTrainer:
 
         num_mb = num_slices // mb_slices
 
-        def epoch_body(carry, key):
+        def epoch_body(carry, idxs):
             params, opt_state, lr = carry
-            perm = jax.random.permutation(key, num_slices)
-            idxs = perm[: num_mb * mb_slices].reshape(num_mb, mb_slices)
             (params, opt_state, lr), aux = jax.lax.scan(
                 mb_update, (params, opt_state, lr), idxs
             )
@@ -747,10 +751,22 @@ class PPOTrainer:
             return (params, opt_state, lr), aux
 
         rng, *keys = jax.random.split(ts.rng, cfg.mini_epochs + 1)
+        # hoist the mini-epoch shuffles out of the scan as ONE batched sort:
+        # jax.random.permutation sorts random keys (O(n log n) with poor TPU
+        # constants — 262k-element sorts are milliseconds); inside the scan
+        # they serialize, vmapped they run as a single (mini_epochs, n)
+        # batched sort. Same keys + same permutation function => bitwise-
+        # identical minibatch order to the in-scan form.
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, num_slices)
+        )(jnp.stack(keys))
+        all_idxs = perms[:, : num_mb * mb_slices].reshape(
+            cfg.mini_epochs, num_mb, mb_slices
+        )
         (params, opt_state, lr), aux = jax.lax.scan(
             epoch_body,
             (ts.params, ts.opt_state, ts.lr),
-            jnp.stack(keys),
+            all_idxs,
         )
         ts = ts.replace(params=params, opt_state=opt_state, lr=lr, rng=rng)
         aux = jax.tree.map(jnp.mean, aux)

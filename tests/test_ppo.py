@@ -389,3 +389,19 @@ def test_rnn_ratio_one_with_mid_chunk_dones():
     for _ in range(3):
         tr.state, m = tr._epoch_jit(tr.state)
         assert float(m["kl"]) < 1e-3, float(m["kl"])
+
+
+def test_vmapped_permutation_matches_sequential():
+    """_update/_cv_update hoist the per-mini-epoch shuffles into one
+    batched sort (vmapped jax.random.permutation). The optimization is
+    only sound if the vmapped form produces bitwise the same permutations
+    as the sequential calls it replaced."""
+    import jax
+    import jax.numpy as jnp
+
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    n = 4096
+    batched = jax.vmap(lambda k: jax.random.permutation(k, n))(keys)
+    for i, k in enumerate(keys):
+        expect = jax.random.permutation(k, n)
+        assert jnp.array_equal(batched[i], expect)
