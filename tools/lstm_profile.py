@@ -38,15 +38,24 @@ def timeit(fn, *args, n=5, warmup=2):
 
 def matmul_bench():
     # chain 32 dependent matmuls per timed call so the measurement is not
-    # dominated by dispatch latency and cannot be constant-folded
+    # dominated by dispatch latency and cannot be constant-folded.
+    # NOTE: the old form `a = (a @ b)[:, :k] * 0.5` let XLA fuse the slice
+    # into the dot (computing only k of n output columns) and reuse the
+    # sliced operand across iterations — the r5 humanoid_profile.log
+    # printed a physically impossible 17.8 PFLOP/s. The scalar-feedback
+    # form consumes EVERY product element via a mean and feeds it back, so
+    # no column can be skipped and no iteration collapsed.
     CH = 32
     for m, k, n in [(4096, 1536, 4096), (8192, 1536, 4096)]:
-        assert k <= n
 
         def chain(a, b):
+            acc = 0.0
+            x = a
             for _ in range(CH):
-                a = (a @ b)[:, :k] * 0.5
-            return a
+                h = x @ b
+                acc = acc + jnp.mean(h)
+                x = a * (1.0 + acc * 1e-9)
+            return acc
 
         f = jax.jit(chain)
         key = jax.random.PRNGKey(0)
