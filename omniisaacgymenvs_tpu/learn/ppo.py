@@ -980,19 +980,26 @@ class PPOTrainer:
             payload = ckptr.restore(
                 path, item=target, restore_args=restore_args
             )
-        except Exception:
+        except Exception as primary_err:
             if not self.is_rnn:
                 raise
             # r1-r4 LSTM checkpoint (per-gate OptimizedLSTMCell + auto-named
             # trunk): restore into the legacy-shaped template, then convert
-            # to the fused LSTMCore layout
+            # to the fused LSTMCore layout. If the legacy attempt ALSO
+            # fails, re-raise the ORIGINAL error — a truncated/corrupt
+            # current-format checkpoint must not masquerade as a legacy-
+            # structure mismatch (it would send the operator debugging the
+            # wrong thing)
             legacy = _downgrade_lstm_target(target)
             legacy_args = jax.tree.map(
                 lambda _: ocp.RestoreArgs(restore_type=np.ndarray), legacy
             )
-            payload = _upgrade_legacy_lstm(
-                ckptr.restore(path, item=legacy, restore_args=legacy_args)
-            )
+            try:
+                payload = _upgrade_legacy_lstm(
+                    ckptr.restore(path, item=legacy, restore_args=legacy_args)
+                )
+            except Exception:
+                raise primary_err
         self.state = self.state.replace(**payload)
 
     # ------------------------------------------------------------------
@@ -1052,6 +1059,19 @@ class PPOTrainer:
                 if past_best:
                     best_reward = max(past_best)
             except (json.JSONDecodeError, OSError):
+                pass
+        # the authoritative best-so-far is the sidecar written next to
+        # nn/best: best-checkpoint candidates are CHUNK-FINAL epochs, which
+        # with log_every>1 are mostly absent from history.json, so the
+        # history-derived max above under-estimates and a resumed run could
+        # overwrite nn/best with a worse policy
+        if start_epoch > 0 and save_dir:
+            try:
+                with open(os.path.join(save_dir, "best_meta.json")) as f:
+                    best_reward = max(
+                        best_reward, float(json.load(f)["best_reward"])
+                    )
+            except (OSError, json.JSONDecodeError, KeyError, ValueError):
                 pass
         if start_epoch > 0 and log_fn:
             log_fn(f"resuming at epoch {start_epoch} ({len(history)} prior rows)")
@@ -1153,5 +1173,15 @@ class PPOTrainer:
                 ):
                     best_reward = m_last["mean_ep_reward"]
                     self.save(os.path.join(save_dir, "best"))
+                    with open(
+                        os.path.join(save_dir, "best_meta.json"), "w"
+                    ) as f:
+                        json.dump(
+                            {
+                                "best_reward": best_reward,
+                                "epoch": epoch + k - 1,
+                            },
+                            f,
+                        )
             epoch += k
         return history

@@ -83,7 +83,18 @@ class CustomRobotTask(RLTask):
         m = self.model
         if m.njd == 0:
             raise ValueError(f"{robot}: imported model has no driven dofs")
-        self.floating = bool(floating)
+        # derive floating-ness from the FINALIZED model's root joint, not
+        # the cfg flag: from_mjcf decides the base joint from the file
+        # itself (the flag only steers the URDF importer), so trusting the
+        # flag would read joint coordinates as base pose / terminate on a
+        # joint angle for a fixed-base MJCF with floatingBase=True
+        self.floating = bool(m.root_free)
+        if bool(floating) != self.floating:
+            print(
+                f"custom robot: floatingBase={floating} requested but the "
+                f"imported model root is "
+                f"{'FREE' if self.floating else 'FIXED'}; using the model"
+            )
         # base fall termination height for floating-base robots (reference
         # locomotion-style fallen-over check, tasks/anymal.py:283)
         self.termination_height = env_cfg.get("terminationHeight", 0.2)

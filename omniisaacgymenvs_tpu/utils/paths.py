@@ -54,15 +54,42 @@ def retrieve_checkpoint_path(path: str) -> str:
         return _unpacked_root(extract_dir)  # cached from an earlier run
 
     os.makedirs(CACHE_DIR, exist_ok=True)
+    # atomic cache writes: download and extract into .part names and
+    # os.rename into place only on success — an interrupted download or
+    # half-finished extraction must not poison the cache (the campaign
+    # runners' retry loops would otherwise re-fail on the corrupt artifact
+    # until someone hand-deletes it)
     archive = os.path.join(CACHE_DIR, fname)
     if not os.path.exists(archive):
+        tmp_archive = archive + ".part"
         print(f"downloading checkpoint {path} -> {archive}")
-        urllib.request.urlretrieve(path, archive)
-    os.makedirs(extract_dir, exist_ok=True)
-    if fname.endswith(".zip"):
-        with zipfile.ZipFile(archive) as z:
-            z.extractall(extract_dir)
-    else:
-        with tarfile.open(archive) as t:
-            t.extractall(extract_dir, filter="data")
+        try:
+            urllib.request.urlretrieve(path, tmp_archive)
+            os.rename(tmp_archive, archive)
+        finally:
+            if os.path.exists(tmp_archive):
+                os.remove(tmp_archive)
+    tmp_extract = extract_dir + ".part"
+    if os.path.isdir(tmp_extract):
+        import shutil
+
+        shutil.rmtree(tmp_extract)
+    os.makedirs(tmp_extract)
+    try:
+        if fname.endswith(".zip"):
+            with zipfile.ZipFile(archive) as z:
+                z.extractall(tmp_extract)
+        else:
+            with tarfile.open(archive) as t:
+                t.extractall(tmp_extract, filter="data")
+        os.rename(tmp_extract, extract_dir)
+    except Exception as e:
+        import shutil
+
+        shutil.rmtree(tmp_extract, ignore_errors=True)
+        if isinstance(e, (tarfile.TarError, zipfile.BadZipFile)):
+            # corrupt archive: drop it so the next attempt re-downloads
+            # instead of re-failing on the same bytes
+            os.remove(archive)
+        raise
     return _unpacked_root(extract_dir)

@@ -77,8 +77,14 @@ def update_readme(readme_path: str = "README.md",
     with open(readme_path) as f:
         lines = f.read().splitlines()
     start = next(
-        i for i, l in enumerate(lines) if l.startswith("| Task | envs |")
+        (i for i, l in enumerate(lines) if l.startswith("| Task | envs |")),
+        None,
     )
+    if start is None:
+        raise SystemExit(
+            f"learning table header row ('| Task | envs |') not found in "
+            f"{readme_path}; cannot splice the regenerated table"
+        )
     end = start
     while end < len(lines) and lines[end].startswith("|"):
         end += 1

@@ -405,3 +405,44 @@ def test_vmapped_permutation_matches_sequential():
     for i, k in enumerate(keys):
         expect = jax.random.permutation(k, n)
         assert jnp.array_equal(batched[i], expect)
+
+
+def test_resume_preserves_best_checkpoint_watermark(tmp_path):
+    """nn/best is guarded by a sidecar watermark (best_meta.json): with
+    log_every>1 the chunk-final epochs that are best-candidates are mostly
+    absent from history.json, so a resumed run that rebuilt best_reward
+    from history alone could overwrite nn/best with a WORSE policy."""
+    import json
+    import os
+
+    def make():
+        env = VecEnv(get_task("Cartpole"), 16)
+        cfg = PPOConfig(
+            horizon_length=16, minibatch_size=256, mini_epochs=2,
+            reward_shaper_scale=0.1, units=(32, 32),
+        )
+        return PPOTrainer(env, cfg, seed=11)
+
+    save_dir = str(tmp_path / "nn")
+    hist_path = str(tmp_path / "history.json")
+    tr = make()
+    tr.train(
+        max_epochs=6, log_every=5, log_fn=None, save_dir=save_dir,
+        save_frequency=2, save_best_after=0, history_path=hist_path,
+    )
+    meta_path = os.path.join(save_dir, "best_meta.json")
+    assert os.path.exists(meta_path)
+    with open(meta_path) as f:
+        meta = json.load(f)
+    # pretend the killed run had seen a very good policy
+    with open(meta_path, "w") as f:
+        json.dump({"best_reward": 1e9, "epoch": meta["epoch"]}, f)
+    best_mtime = os.path.getmtime(os.path.join(save_dir, "best"))
+    tr2 = make()
+    tr2.load(os.path.join(save_dir, "last"))
+    tr2.train(
+        max_epochs=10, log_every=5, log_fn=None, save_dir=save_dir,
+        save_frequency=2, save_best_after=0, history_path=hist_path,
+    )
+    # the worse post-resume policy must NOT have overwritten nn/best
+    assert os.path.getmtime(os.path.join(save_dir, "best")) == best_mtime

@@ -143,14 +143,21 @@ def main():
     dt3, _ = timeit(me2, params, ost, n=5)
     print(f"mini-epoch no-gather: {dt3*1e3:7.2f} ms")
 
-    # 4. recurrent-shape matmul chain (dependent, fold-proof)
+    # 4. recurrent-shape matmul chain. Scalar-mean feedback (NOT a slice
+    # back into the next operand): slicing lets XLA fuse the slice into
+    # the dot and compute only H of the 4H output columns — a 4x FLOP
+    # overcount (the same folding fixed in tools/lstm_profile.py).
     a = jax.random.normal(key, (B, H), jnp.bfloat16)
     w = jax.random.normal(key, (H, 4 * H), jnp.bfloat16)
 
     def chain(a, w):
+        acc = jnp.zeros((), jnp.float32)
+        x = a
         for _ in range(32):
-            a = (a @ w)[:, :H] * 0.99
-        return a
+            h = x @ w
+            acc = acc + jnp.mean(h.astype(jnp.float32))
+            x = a * (1.0 + acc * 1e-9).astype(a.dtype)
+        return acc
 
     ch = jax.jit(chain)
     dtc, _ = timeit(ch, a, w)
