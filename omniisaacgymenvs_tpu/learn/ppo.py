@@ -151,6 +151,50 @@ def _downgrade_lstm_target(tree):
     return walk(tree)
 
 
+def _pack_dataset(dataset):
+    """Pack a flat SGD dataset into ONE (S, D) f32 matrix + an unpack fn.
+
+    TPU gathers are row-overhead bound: gathering a random minibatch from
+    8 separate arrays — four of them (S,) scalars whose "rows" are 4
+    bytes — ran the FF update phase at ~10% of HBM bandwidth and made the
+    gather ~80% of the whole SGD phase (tools/ff_profile.py @ 8192
+    Humanoid envs: full 112 ms vs 40 ms packed vs 20 ms contiguous).
+    Concatenating the fields once per epoch (~0.2 ms of bandwidth) turns
+    every minibatch into a single wide-row gather. Minibatch composition
+    and all arithmetic are unchanged — the same rows land in the same
+    order, columns are just sliced back out of the gathered block.
+
+    Only flat float32 datasets pack (every field rank<=2) — the FF path.
+    RNN datasets ((B, seq, ...) fields, bool done masks, big stored
+    hidden) return (None, None) and keep per-field index gathers, which
+    the recurrent-path profile showed are <10% there.
+    """
+    names = sorted(dataset)
+    for k in names:
+        v = dataset[k]
+        if v.dtype != jnp.float32 or v.ndim > 2:
+            return None, None
+    cols = {}
+    off = 0
+    parts = []
+    for k in names:
+        v = dataset[k]
+        v2 = v[:, None] if v.ndim == 1 else v
+        cols[k] = (off, off + v2.shape[1], v.ndim == 1)
+        off += v2.shape[1]
+        parts.append(v2)
+    packed = jnp.concatenate(parts, axis=1)
+
+    def unpack(rows):
+        out = {}
+        for k, (a, b, was1d) in cols.items():
+            s = rows[:, a:b]
+            out[k] = s[:, 0] if was1d else s
+        return out
+
+    return packed, unpack
+
+
 @dataclasses.dataclass
 class PPOConfig:
     """Mirrors the rl_games config block of cfg/train/*PPO.yaml."""
@@ -655,13 +699,19 @@ class PPOTrainer:
             mb_slices -= 1
         num_mb = num_slices // mb_slices
 
+        packed, unpack = _pack_dataset(dataset)
+
         def mb_update(carry, idx):
             cv_params, opt_state = carry
             # gather ONLY this minibatch's rows (shuffle the slice INDICES,
             # not the dataset: re-permuting the stored LSTM hidden — 2 x
             # 134 MB at 8192 envs — every mini-epoch was pure HBM traffic,
-            # docs/performance.md recurrent-path profile)
-            mb = jax.tree.map(lambda x: x[idx], dataset)
+            # docs/performance.md recurrent-path profile); one wide-row
+            # gather when the dataset packs (see _pack_dataset)
+            if packed is not None:
+                mb = unpack(packed[idx])
+            else:
+                mb = jax.tree.map(lambda x: x[idx], dataset)
             loss, grads = grad_fn(cv_params, mb, ts)
             gok = jnp.isfinite(optax.global_norm(grads))
             grads = jax.tree.map(
@@ -717,11 +767,17 @@ class PPOTrainer:
         RNN mode); each minibatch takes mb_slices of them."""
         cfg = self.cfg
         grad_fn = jax.value_and_grad(self._loss, has_aux=True)
+        packed, unpack = _pack_dataset(dataset)
 
         def mb_update(carry, idx):
             params, opt_state, lr = carry
-            # per-minibatch index gather — see _cv_update.mb_update
-            mb = jax.tree.map(lambda x: x[idx], dataset)
+            # ONE wide-row gather per minibatch when the dataset packs
+            # (FF path), else per-field gathers (RNN path) — see
+            # _pack_dataset for why
+            if packed is not None:
+                mb = unpack(packed[idx])
+            else:
+                mb = jax.tree.map(lambda x: x[idx], dataset)
             (loss, aux), grads = grad_fn(params, mb, ts, advs_mean, advs_std)
             # non-finite-gradient guard: skip the update rather than poison
             # Adam state (a single exploded env would otherwise end training)
