@@ -159,14 +159,16 @@ class AnymalTerrainTask(RLTask):
             axis=-1,
         ).reshape(-1, 7)
         self._slope_lim_h = slope_lim
-        # riser walls OFF by default: the r4 full-budget run with walls
-        # reached terrain_level 4.46 vs 5.58 tread-only — the vertical
-        # riser faces (physically faithful to the reference trimesh) make
-        # stair edges harder than the tread-jump assist they replace, and
-        # the policy has not yet re-learned edge stepping. Enable with
-        # terrain.riserWalls=True for the faithful-wall model (r5 tuning
-        # item: wall top margin / per-substep plane refresh).
-        self._riser_walls = bool(terrain_cfg.get("riserWalls", False))
+        # riser walls ON by default (r5): vertical riser faces with
+        # corner-capture edge contacts are physically faithful to the
+        # reference trimesh (terrain_utils.py:301-365 wall correction).
+        # They COST score — full-budget 4.41 (4.81 at 2x budget,
+        # results/AnymalTerrain_walls_extension) vs 5.58 with walls off —
+        # because walls-off permits an unphysical tread-jump assist at
+        # step edges; the shipped default honors the physics, and the
+        # assisted run ships as the documented ablation
+        # (results/AnymalTerrain_treadonly, terrain.riserWalls=False).
+        self._riser_walls = bool(terrain_cfg.get("riserWalls", True))
         # wall-top grazing margin in meters; None/'auto' = per-point
         # contact radius (see _contact_plane_fn edge contacts)
         wm = terrain_cfg.get("riserWallMargin", None)

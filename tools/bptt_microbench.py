@@ -86,16 +86,30 @@ def main():
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    # 1. one minibatch fwd+bwd (data pre-sliced, no gather)
+    # 1. dependent chain of 16 grad steps on one pre-sliced minibatch (no
+    # gather, no optimizer). A single isolated grad call timed the same
+    # way measured 0.09 ms for ~0.5 TFLOP (5 PFLOP/s "effective") — some
+    # or all of the work was elided; chaining param updates makes every
+    # step's output feed the next, so nothing can fold away.
     mb0 = jax.tree.map(lambda x: x[:B], ds)
-    g1 = jax.jit(lambda p, mb: grad_fn(p, mb))
-    dt1, _ = timeit(g1, params, mb0)
+
+    def grad_chain(p, mb):
+        def body(p, _):
+            l, g = grad_fn(p, mb)
+            p = jax.tree.map(lambda a, u: a - 1e-6 * u, p, g)
+            return p, l
+        p, ls = jax.lax.scan(body, p, None, length=16)
+        return jnp.sum(ls)
+
+    g1 = jax.jit(grad_chain)
+    dt16, _ = timeit(g1, params, mb0)
+    dt1 = dt16 / 16
     # FLOP estimate: lstm x-proj + recurrent + mlp + heads, fwd*3
     f_x = 2 * B * S * OBS * 4 * H
     f_h = 2 * B * S * H * 4 * H
     f_mlp = 2 * B * S * (H * 512 + 512 * (ACT + 1))
     fl = 3 * (f_x + f_h + f_mlp)
-    print(f"1 grad step  (B={B}): {dt1*1e3:7.2f} ms  "
+    print(f"1 grad step  (B={B}, chained x16): {dt1*1e3:7.2f} ms  "
           f"{fl/dt1/1e12:6.1f} TFLOP/s eff")
 
     # 2. scan over NMB minibatches with index gather (epoch_body shape)
