@@ -86,31 +86,18 @@ def main():
 
     grad_fn = jax.value_and_grad(loss_fn)
 
-    # 1. dependent chain of 16 grad steps on one pre-sliced minibatch (no
-    # gather, no optimizer). A single isolated grad call timed the same
-    # way measured 0.09 ms for ~0.5 TFLOP (5 PFLOP/s "effective") — some
-    # or all of the work was elided; chaining param updates makes every
-    # step's output feed the next, so nothing can fold away.
-    mb0 = jax.tree.map(lambda x: x[:B], ds)
-
-    def grad_chain(p, mb):
-        def body(p, _):
-            l, g = grad_fn(p, mb)
-            p = jax.tree.map(lambda a, u: a - 1e-6 * u, p, g)
-            return p, l
-        p, ls = jax.lax.scan(body, p, None, length=16)
-        return jnp.sum(ls)
-
-    g1 = jax.jit(grad_chain)
-    dt16, _ = timeit(g1, params, mb0)
-    dt1 = dt16 / 16
-    # FLOP estimate: lstm x-proj + recurrent + mlp + heads, fwd*3
+    # NOTE: an isolated single-grad-step timing is NOT printed. Both an
+    # isolated grad call and a 16-step dependent grad chain measure
+    # ~0 ms on the tunneled axon runtime (physically impossible for the
+    # ~0.5 TFLOP a step carries) while the mini-epoch scans below time
+    # sanely and reproducibly in the same harness — per-grad-step cost is
+    # therefore reported as mini-epoch time / minibatch count instead.
+    # FLOP estimate per grad step (lstm x-proj + recurrent + mlp + heads,
+    # fwd*3), used by the printout below:
     f_x = 2 * B * S * OBS * 4 * H
     f_h = 2 * B * S * H * 4 * H
     f_mlp = 2 * B * S * (H * 512 + 512 * (ACT + 1))
     fl = 3 * (f_x + f_h + f_mlp)
-    print(f"1 grad step  (B={B}, chained x16): {dt1*1e3:7.2f} ms  "
-          f"{fl/dt1/1e12:6.1f} TFLOP/s eff")
 
     # 2. scan over NMB minibatches with index gather (epoch_body shape)
     opt = optax.chain(optax.clip_by_global_norm(1.0),
@@ -135,7 +122,7 @@ def main():
     perm = jax.random.permutation(key, NSLICES)
     dt2, _ = timeit(me, params, ost, perm, n=5)
     print(f"mini-epoch ({NMB} mb + gather + adam): {dt2*1e3:7.2f} ms "
-          f"({dt2/NMB*1e3:.2f} ms/mb vs {dt1*1e3:.2f} raw)")
+          f"({dt2/NMB*1e3:.2f} ms/mb, {fl/(dt2/NMB)/1e12:.1f} TFLOP/s eff)")
 
     # 3. grad-only scan (no gather: pre-shuffled contiguous slices)
     def mini_epoch_nogather(p, ost):
