@@ -978,9 +978,45 @@ class PPOTrainer:
         return ts, metrics
 
     # ------------------------------------------------------------------
+    def _env_state_tree(self):
+        """The per-env training state a resume needs for CONTINUITY, not
+        just correctness: mid-episode phys/carry state (e.g. AnymalTerrain's
+        per-env curriculum level lives in es.carry), RNN hiddens, running
+        episode stats and the task's cross-env EMAs (the hands'
+        consecutive-success tracker). Without it, a watchdog resume
+        restarts every episode at curriculum level 0 with zeroed EMAs —
+        the r5 two-phase terrain experiment lost ~5.7 levels to exactly
+        this."""
+        return dict(
+            es=self.state.es,
+            rng=self.state.rng,
+            hidden=self.state.hidden,
+            cv_hidden=self.state.cv_hidden,
+            ep_ret=self.state.ep_ret,
+            ep_len=self.state.ep_len,
+            score_mean=self.state.score_mean,
+            len_mean=self.state.len_mean,
+            games=self.state.games,
+            task_stats=self.state.task_stats,
+        )
+
+    @staticmethod
+    def _pad_zero_size(tree):
+        """Orbax rejects zero-size arrays; swap them for (1,) placeholders
+        (structure preserved — the loader grafts the originals back)."""
+        return jax.tree.map(
+            lambda x: jnp.zeros((1,), jnp.float32)
+            if getattr(x, "size", 1) == 0 else x,
+            tree,
+        )
+
     def save(self, path: str):
         """Checkpoint params + normalizers + progress (reference: rl_games
-        .pth under runs/<experiment>/nn, README.md:82-120; here Orbax)."""
+        .pth under runs/<experiment>/nn, README.md:82-120; here Orbax).
+        Env continuity state goes to a sibling `<path>_env` directory so
+        the main checkpoint keeps its r1-r5 structure (old checkpoints
+        stay loadable, new checkpoints stay loadable by structure-pinned
+        tools)."""
         import orbax.checkpoint as ocp
 
         path = os.path.abspath(path)
@@ -1001,6 +1037,10 @@ class PPOTrainer:
             payload["cv_opt_state"] = self.state.cv_opt_state
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, payload, force=True)
+        ckptr.save(
+            path + "_env", self._pad_zero_size(self._env_state_tree()),
+            force=True,
+        )
 
     def load(self, path: str):
         """Resume from a checkpoint (reference `checkpoint=` CLI arg)."""
@@ -1057,6 +1097,46 @@ class PPOTrainer:
             except Exception:
                 raise primary_err
         self.state = self.state.replace(**payload)
+        self._load_env_state(path + "_env")
+
+    def _load_env_state(self, env_path: str):
+        """Restore per-env continuity state from the `<ckpt>_env` sidecar
+        if present and shape-compatible; otherwise keep fresh envs (old
+        checkpoints, or a resume at a different num_envs)."""
+        import numpy as np
+        import orbax.checkpoint as ocp
+
+        if not os.path.isdir(env_path):
+            return
+        template = self._env_state_tree()
+        padded = self._pad_zero_size(template)
+        restore_args = jax.tree.map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), padded
+        )
+        try:
+            restored = ocp.PyTreeCheckpointer().restore(
+                env_path, item=padded, restore_args=restore_args
+            )
+        except Exception as e:  # structure/shape mismatch -> fresh envs
+            print(f"env-state sidecar ignored ({type(e).__name__}): "
+                  f"envs restart fresh")
+            return
+        # orbax restores the SAVED shapes — a sidecar from a different
+        # num_envs must not be grafted onto this trainer
+        shapes_ok = jax.tree.all(jax.tree.map(
+            lambda t, r: jnp.shape(t) == jnp.shape(r), padded, restored
+        ))
+        if not shapes_ok:
+            print("env-state sidecar ignored (num_envs changed): "
+                  "envs restart fresh")
+            return
+        # graft the zero-size originals back over their (1,) placeholders
+        merged = jax.tree.map(
+            lambda t, r: t if getattr(t, "size", 1) == 0 else r,
+            template, restored,
+        )
+        self.state = self.state.replace(**merged)
+        print("env state restored (episodes/curriculum/EMAs continue)")
 
     # ------------------------------------------------------------------
     def train(
