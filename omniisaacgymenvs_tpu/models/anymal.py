@@ -32,12 +32,20 @@ def _default_kfe(sx):
     return -0.8 * sx
 
 
-def build_anymal(spawn_height: float = 0.62, drive: dict | None = None):
+def build_anymal(spawn_height: float = 0.62, drive: dict | None = None,
+                 dual_foot_contacts: bool = False):
     """drive: optional override of the PD drive constants (stiffness,
     drive_damping, max_effort) — AnymalTerrain runs its explicit in-loop PD
     law tau = clip(Kp(targets-q) - Kd qd, +-80) (reference
     tasks/anymal_terrain.py:309-316) through the engine's per-substep drive
-    evaluation by authoring those gains as the model drives."""
+    evaluation by authoring those gains as the model drives.
+
+    dual_foot_contacts: append a SECOND contact point per foot (same
+    offset/radius, model indices ncp-4..ncp-1, leg order LF/LH/RF/RH).
+    The terrain task routes these to a different local contact feature
+    than the primary (tread support while the primary takes the riser
+    wall), giving a step-corner wedge the two-plane manifold a trimesh
+    collision would produce instead of nearest-feature-only contact."""
     drv = dict(_DRIVE) if drive is None else dict(drive)
     b = ModelBuilder("Anymal")
 
@@ -70,6 +78,7 @@ def build_anymal(spawn_height: float = 0.62, drive: dict | None = None):
             armature=0.05, damping=0.0, max_velocity=20.0, **drv,
         )
 
+    shanks = {}
     for name, sx, sy in _LEGS:
         # shank length chosen so the feet TOUCH the ground at the spawn
         # pose (base 0.62 m, defaultJointAngles): with 0.32 the feet hung
@@ -91,5 +100,12 @@ def build_anymal(spawn_height: float = 0.62, drive: dict | None = None):
         # reference tasks/anymal_terrain.py:359-367)
         b.add_sphere_collider(shank, (0.0, 0.0, 0.0), 0.04)
         b.add_force_sensor(shank)
+        shanks[name] = shank
+
+    if dual_foot_contacts:
+        # secondary foot points LAST so their indices are ncp-4..ncp-1
+        foot = np.array([0.0, 0.0, -0.386])
+        for name, sx, sy in _LEGS:
+            b.add_sphere_collider(shanks[name], foot, 0.035)
 
     return b.finalize()

@@ -179,6 +179,21 @@ class AnymalTerrainTask(RLTask):
         self._plane_refresh = bool(
             terrain_cfg.get("planeRefresh", self._riser_walls)
         )
+        # two-feature foot contacts (r5): a foot wedged at a step corner
+        # physically touches BOTH the tread (support) and the riser
+        # (horizontal block); nearest-feature-only selection drops
+        # whichever is farther, so a foot grazing a wall lost its ground
+        # support for the substep — the per-type level breakdown of the
+        # faithful-walls runs shows stairs capped at ~2.4 mean level while
+        # slopes/obstacles/stones reach 7-9. The reference trimesh
+        # (terrain_utils.py:301-365) yields a multi-point manifold here.
+        # Each foot gets a SECOND model contact point routed to the
+        # own-cell tread whenever the primary resolved to a riser feature
+        # (gated so the cell-crossing "19 cm instant penetration" launcher
+        # stays excluded). Defaults to follow riserWalls.
+        self._foot_wedge = bool(
+            terrain_cfg.get("footWedgeContacts", self._riser_walls)
+        )
         self._hs = self.terrain.horizontal_scale
         self._border = self.terrain.border_size
         self._origins = jnp.asarray(self.terrain.env_origins, jnp.float32)
@@ -193,6 +208,13 @@ class AnymalTerrainTask(RLTask):
             spawn_height=0.62,
             drive=dict(stiffness=self.Kp, drive_damping=self.Kd,
                        max_effort=80.0),
+            dual_foot_contacts=self._foot_wedge,
+        )
+        ncp = int(self.model.cp_body.shape[0])
+        # secondary foot points are the LAST 4 by build_anymal contract
+        self._secondary_mask = (
+            jnp.zeros(ncp, bool).at[ncp - 4:].set(True)
+            if self._foot_wedge else None
         )
         self.engine = PhysicsEngine(
             self.model,
@@ -271,13 +293,14 @@ class AnymalTerrainTask(RLTask):
         one = jnp.ones_like(h)
 
         def fold(best, cand):
-            (bp, bn, bd) = best
+            (bp, bn, bd, bt) = best
             pen, n, d, act = cand
             sel = act & (pen > 0.0) & ((pen < bp) | (bp <= 0.0))
             return (
                 jnp.where(sel, pen, bp),
                 jnp.where(sel[..., None], n, bn),
                 jnp.where(sel, d, bd),
+                bt & ~sel,   # every fold candidate is a riser feature
             )
 
         # wall-top grazing margin: within `mg` of the riser TOP the contact
@@ -323,7 +346,9 @@ class AnymalTerrainTask(RLTask):
             (hyp, by1, y, 1, hyp - h > lim),
             (hyn, by0, y, 1, hyn - h > lim),
         ]
-        best = (best_pen, best_n, best_d)
+        pen_tread = best_pen
+        best = (best_pen, best_n, best_d,
+                jnp.ones_like(best_pen, dtype=bool))
         if not self._riser_walls:
             walls = []
             edges = []
@@ -346,7 +371,23 @@ class AnymalTerrainTask(RLTask):
             d = n[..., axis] * b + n[..., 2] * hn
             pen = radius - dist
             best = fold(best, (pen, n, d, is_wall & (z > hn - mg)))
-        _, n, d = best
+        _, n, d, is_tread = best
+        if (self._secondary_mask is not None
+                and d.shape[-1] == self._secondary_mask.shape[0]):
+            # (shape guard: diagnostic callers probe arbitrary point sets;
+            # the engine always passes the model's full cp set)
+            # secondary (wedge) foot points: own-cell TREAD support while
+            # the primary is on a riser feature — the two-plane corner
+            # manifold. Gate pen_tread <= 2*radius keeps the cell-crossing
+            # launcher excluded (a foot that just crossed into the high
+            # cell sees its "own" tread ~a step-height above; a genuine
+            # corner wedge overlaps the tread by at most ~the radius).
+            sec_ok = (~is_tread) & (pen_tread <= 2.0 * radius)
+            d_far = jnp.sum(pt * n_t, axis=-1) - radius - 1.0
+            d_sec = jnp.where(sec_ok, d_t, d_far)
+            m2 = self._secondary_mask
+            n = jnp.where(m2[..., None], n_t, n)
+            d = jnp.where(m2, d_sec, d)
         return n, d
 
     # ------------------------------------------------------------------

@@ -170,3 +170,76 @@ def test_contact_corner_capture_at_riser_top():
     assert n[1, 2] > 0.8, f"expected near-vertical corner normal: {n[1]}"
     # (c) flat wall far below the margin band
     assert n[2, 0] < -0.9 and abs(n[2, 2]) < 0.1, f"expected wall: {n[2]}"
+
+def test_foot_wedge_secondary_contacts():
+    """r5 two-feature foot contacts: the 4 secondary foot points (model
+    indices ncp-4..ncp-1) resolve to the OWN-CELL TREAD whenever the
+    primary picked a riser feature, restoring the step-corner wedge
+    manifold (tread support + wall block simultaneously) that
+    nearest-feature-only selection dropped — the per-type curriculum
+    breakdown showed stairs capped at mean level ~2.4 under walls while
+    other types reach 7-9. Gated: a foot that crossed into the HIGH cell
+    (own tread ~a step-height above it) keeps an inactive secondary (the
+    round-3 launcher must not return through the back door)."""
+    task = get_task("AnymalTerrain", {
+        "env": {"terrain": {"numLevels": 3, "numTerrains": 4,
+                            "mapLength": 4.0, "mapWidth": 4.0,
+                            "borderSize": 4.0, "riserWalls": True,
+                            "footWedgeContacts": True}}})
+    ncp = int(task.model.cp_body.shape[0])
+    assert bool(task._secondary_mask[ncp - 1]) and \
+        not bool(task._secondary_mask[0])
+    # the 4 secondary points duplicate the 4 primary foot points
+    # (same body, offset, radius)
+    prim_feet = [i for i in range(ncp - 4)
+                 if np.isclose(float(task.model.cp_radius[i]), 0.035)]
+    assert len(prim_feet) == 4
+    for k in range(4):
+        assert int(task.model.cp_body[ncp - 4 + k]) == \
+            int(task.model.cp_body[prim_feet[k]])
+
+    hf = np.asarray(task._hf)[:-1, :-1]
+    hs = task._hs
+    lim = task._slope_lim_h
+    dx = np.concatenate([hf[1:], hf[-1:]], axis=0) - hf
+    steep = dx > lim
+    cx, cy = np.argwhere(steep)[0]
+    h_low, h_high = hf[cx, cy], hf[cx + 1, cy]
+    bx1 = (cx + 1) * hs - task._border
+    y_mid = cy * hs - task._border + 0.5 * hs
+    r = 0.03
+    # probe with a FULL cp-sized batch so the mask path engages: all rows
+    # get the same probe point; rows ncp-4.. are secondary
+    # wedge: least embedded in the WALL (primary) while overlapping the
+    # tread by 0.025 (secondary support)
+    wedge_pt = [bx1 - 0.025, y_mid, h_low + 0.005]
+    high_pt = [bx1 + 0.005, y_mid, h_low + 0.005]  # crossed into HIGH cell
+    radius = jnp.full((ncp,), r)
+
+    pts = jnp.asarray([wedge_pt] * ncp, jnp.float32)
+    n, d = task._contact_plane_fn(pts, radius)
+    n, d = np.asarray(n), np.asarray(d)
+    # primary at the wedge: riser wall (-x push-back)
+    assert n[0, 0] < -0.9, f"expected wall primary, got {n[0]}"
+    # secondary at the wedge: own-cell tread SUPPORT, positive penetration
+    assert n[-1, 2] > 0.9, f"expected tread secondary, got {n[-1]}"
+    pen_sec = r - (np.dot(n[-1], wedge_pt) - d[-1])
+    np.testing.assert_allclose(pen_sec, 0.025, atol=1e-5)
+
+    pts = jnp.asarray([high_pt] * ncp, jnp.float32)
+    n, d = task._contact_plane_fn(pts, radius)
+    n, d = np.asarray(n), np.asarray(d)
+    # in the high cell the own tread is ~a step above: the launcher gate
+    # must leave the secondary INACTIVE (negative penetration)
+    pen_sec = r - (np.dot(n[-1], high_pt) - d[-1])
+    assert pen_sec < 0.0, (
+        f"secondary active across the cell crossing (pen {pen_sec:.3f}) - "
+        "the round-3 launcher is back")
+
+    # walls-off: no secondary points are built at all
+    task2 = get_task("AnymalTerrain", {
+        "env": {"terrain": {"numLevels": 3, "numTerrains": 4,
+                            "mapLength": 4.0, "mapWidth": 4.0,
+                            "borderSize": 4.0, "riserWalls": False}}})
+    assert task2._secondary_mask is None
+    assert int(task2.model.cp_body.shape[0]) == ncp - 4
