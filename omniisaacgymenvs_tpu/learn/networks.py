@@ -98,6 +98,11 @@ class LSTMCore(nn.Module):
 
     features: int
     dtype: Optional[Any] = None
+    # lax.scan unroll factor for the BPTT seq path. seq_len is 4 in the
+    # reference LSTM config, so unroll=4 emits the whole recurrence as
+    # straight-line code XLA can fuse across steps (no per-step stacking
+    # or carry slicing). Rollout (__call__) is unaffected.
+    seq_unroll: int = 1
 
     def setup(self):
         self.wx = nn.Dense(
@@ -147,7 +152,9 @@ class LSTMCore(nn.Module):
             )
             return carry, h2
 
-        _, outs = jax.lax.scan(body, hidden, (xg, dn))
+        _, outs = jax.lax.scan(
+            body, hidden, (xg, dn), unroll=self.seq_unroll
+        )
         return jnp.swapaxes(outs, 0, 1)  # (B, T, H)
 
 
@@ -161,9 +168,13 @@ class LSTMCentralValue(nn.Module):
     activation: str = "relu"
     layer_norm: bool = True
     dtype: Optional[Any] = None
+    seq_unroll: int = 1
 
     def setup(self):
-        self.lstm = LSTMCore(self.lstm_units, dtype=self.dtype, name="lstm")
+        self.lstm = LSTMCore(
+            self.lstm_units, dtype=self.dtype,
+            seq_unroll=self.seq_unroll, name="lstm",
+        )
         self.ln = (
             nn.LayerNorm(dtype=self.dtype, name="ln")
             if self.layer_norm
@@ -207,9 +218,13 @@ class LSTMActorCritic(nn.Module):
     sigma_init: float = 0.0
     layer_norm: bool = True
     dtype: Optional[Any] = None
+    seq_unroll: int = 1
 
     def setup(self):
-        self.lstm = LSTMCore(self.lstm_units, dtype=self.dtype, name="lstm")
+        self.lstm = LSTMCore(
+            self.lstm_units, dtype=self.dtype,
+            seq_unroll=self.seq_unroll, name="lstm",
+        )
         self.ln = (
             nn.LayerNorm(dtype=self.dtype, name="ln")
             if self.layer_norm

@@ -162,12 +162,13 @@ class AnymalTerrainTask(RLTask):
         # riser walls ON by default (r5): vertical riser faces with
         # corner-capture edge contacts are physically faithful to the
         # reference trimesh (terrain_utils.py:301-365 wall correction).
-        # They COST score — full-budget 4.41 (4.81 at 2x budget,
-        # results/AnymalTerrain_walls_extension) vs 5.58 with walls off —
-        # because walls-off permits an unphysical tread-jump assist at
-        # step edges; the shipped default honors the physics, and the
-        # assisted run ships as the documented ablation
-        # (results/AnymalTerrain_treadonly, terrain.riserWalls=False).
+        # They COST score vs the walls-off tread-jump assist (5.58,
+        # results/AnymalTerrain_treadonly): with the r5 wedge-contact fix
+        # below the faithful model reaches 4.90 at budget (5.06 saturated
+        # at 2x, results/AnymalTerrain_wedge_extension; the pre-wedge
+        # single-contact walls managed 4.41/4.81,
+        # results/AnymalTerrain_walls_singlecontact{,_extension}). The
+        # shipped default honors the physics.
         self._riser_walls = bool(terrain_cfg.get("riserWalls", True))
         # wall-top grazing margin in meters; None/'auto' = per-point
         # contact radius (see _contact_plane_fn edge contacts)
