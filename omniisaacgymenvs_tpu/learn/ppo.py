@@ -295,6 +295,12 @@ class PPOTrainer:
         self.is_rnn = cfg.rnn == "lstm"
         self.use_cv = cfg.central_value and env.num_states > 0
         net_dtype = jnp.bfloat16 if cfg.mixed_precision else None
+        # fully unroll the BPTT seq scan for short reference seq_lens:
+        # straight-line recurrence lets XLA fuse the gate elementwise
+        # chains across steps — 1.17x on the measured grad step at
+        # seq_len 4, after which the recurrent matmuls run at ~96% of the
+        # chip's dependent-chain rate (tools/bptt_variants.py, r5)
+        seq_unroll = cfg.seq_len if cfg.seq_len <= 8 else 1
         if self.is_rnn:
             self.net = LSTMActorCritic(
                 num_actions=env.num_actions,
@@ -303,6 +309,7 @@ class PPOTrainer:
                 activation=cfg.activation,
                 sigma_init=cfg.sigma_init,
                 dtype=net_dtype,
+                seq_unroll=seq_unroll,
             )
         else:
             self.net = ActorCritic(
@@ -320,6 +327,7 @@ class PPOTrainer:
                 units=tuple(cfg.cv_units),
                 activation=cfg.cv_activation,
                 dtype=net_dtype,
+                seq_unroll=seq_unroll,
             )
         elif self.use_cv:
             self.cv_net = CentralValue(
